@@ -1,0 +1,86 @@
+"""deepchopper_tpu — a TPU-native chimera-artifact detection framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of
+ylab-hi/DeepChopper (reference mounted at /root/reference): FASTQ reads are
+tokenized with a vectorized uint8 gather on host, bucketed into fixed shapes,
+classified per-base by a JAX genomic LM (HyenaDNA-style long-conv backbone +
+qual-fusing MLP head) sharded data-parallel over a TPU mesh, then smoothed and
+chopped with byte-compatible interval semantics.
+
+The top-level namespace mirrors the reference's PyO3 bridge surface
+(reference: src/python.rs:878-958) so reference users can switch directly.
+"""
+
+from __future__ import annotations
+
+from . import default, errors, ops
+from .io.chop import (
+    ChopType,
+    FastqRecord,
+    generate_unmaped_intervals,
+    remove_intervals_and_keep_left,
+    split_records_by_intervals,
+    split_records_by_remove_intervals,
+)
+from .ops import (
+    ascii_list2str,
+    encode_qual,
+    encode_qual_kmer,
+    generate_kmers,
+    generate_kmers_table,
+    get_label_region,
+    id_list2seq,
+    kmerids_to_seq,
+    kmers_to_seq,
+    majority_voting,
+    normalize_seq,
+    parse_target_from_id,
+    reverse_complement,
+    seq_to_kmers,
+    seq_to_kmers_and_offset,
+    smooth_label_region,
+    splite_qual_by_offsets,
+    summary_predict,
+    to_kmer_target_region,
+    to_original_target_region,
+    to_original_targtet_region,
+    vectorize_target,
+    vectorize_targets,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ChopType",
+    "FastqRecord",
+    "ascii_list2str",
+    "default",
+    "encode_qual",
+    "encode_qual_kmer",
+    "errors",
+    "generate_kmers",
+    "generate_kmers_table",
+    "generate_unmaped_intervals",
+    "get_label_region",
+    "id_list2seq",
+    "kmerids_to_seq",
+    "kmers_to_seq",
+    "majority_voting",
+    "normalize_seq",
+    "ops",
+    "parse_target_from_id",
+    "remove_intervals_and_keep_left",
+    "reverse_complement",
+    "seq_to_kmers",
+    "seq_to_kmers_and_offset",
+    "smooth_label_region",
+    "split_records_by_intervals",
+    "split_records_by_remove_intervals",
+    "splite_qual_by_offsets",
+    "summary_predict",
+    "to_kmer_target_region",
+    "to_original_target_region",
+    "to_original_targtet_region",
+    "vectorize_target",
+    "vectorize_targets",
+]
