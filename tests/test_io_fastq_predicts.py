@@ -1,0 +1,122 @@
+"""FASTQ IO + prediction-shard loader tests against reference fixtures."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from deepchopper_tpu import default
+from deepchopper_tpu.io import chop as C
+from deepchopper_tpu.io import fastq as F
+from deepchopper_tpu.io import predicts as P
+
+
+class TestFastqIO:
+    def test_read_reference_fixture(self, reference_data):
+        recs = F.read_fastq_records(reference_data / "twenty_five_records.fq")
+        assert len(recs) == 25
+        for r in recs:
+            assert len(r.seq) == len(r.qual)
+
+    def test_one_record_target(self, reference_data):
+        recs = F.read_fastq_records(reference_data / "one_record.fq")
+        assert len(recs) == 1
+        from deepchopper_tpu.ops.labels import parse_target_from_id
+
+        assert parse_target_from_id(recs[0].name) == [(462, 528)]
+
+    def test_bgzf_roundtrip(self, tmp_path):
+        recs = [
+            C.FastqRecord(f"read{i}", b"ACGT" * 100, b"I" * 400) for i in range(500)
+        ]
+        out = tmp_path / "out.fq.gz"
+        F.write_fq_parallel(recs, out, threads=4)
+        assert F.detect_compression(out) == "bgzip"
+        back = F.read_fastq_records(out)
+        assert [r.id for r in back] == [r.id for r in recs]
+        assert all(a.seq == b.seq and a.qual == b.qual for a, b in zip(back, recs))
+        # readable by stock gzip too
+        with gzip.open(out) as fh:
+            assert fh.readline() == b"@read0\n"
+
+    def test_plain_roundtrip(self, tmp_path):
+        recs = [C.FastqRecord("a b", b"ACGT", b"!!!!")]
+        out = tmp_path / "out.fq"
+        F.write_fq(recs, out)
+        assert F.detect_compression(out) == "plain"
+        back = F.read_fastq_records(out)
+        assert back[0].id == "a b" and back[0].name == "a"
+
+    def test_gzip_detection_and_read(self, tmp_path, reference_data):
+        src = (reference_data / "simple.fq").read_bytes()
+        gz = tmp_path / "simple.fq.gz"
+        with gzip.open(gz, "wb") as fh:
+            fh.write(src)
+        assert F.detect_compression(gz) == "gzip"
+        assert len(F.read_fastq_records(gz)) == len(F.read_fastq_records(reference_data / "simple.fq"))
+
+    def test_chunked_iteration(self, reference_data):
+        chunks = list(F.iter_fastq_chunks(reference_data / "twenty_five_records.fq", 10))
+        assert [len(c) for c in chunks] == [10, 10, 5]
+
+    def test_merge(self, tmp_path, reference_data):
+        out = tmp_path / "merged.fq.gz"
+        F.convert_multiple_fqs_to_one_fq(
+            [reference_data / "simple.fq", reference_data / "simple.fq"], out
+        )
+        n = len(F.read_fastq_records(reference_data / "simple.fq"))
+        assert len(F.read_fastq_records(out)) == 2 * n
+
+
+class TestPredictShards:
+    def test_load_reference_pt(self, reference_data):
+        # Oracle: reference test asserts 12 predicts in chunk0/0.pt
+        # (reference: src/smooth/predict.rs:319-331).
+        predicts = P.load_predicts_from_batch_pt(reference_data / "eval/chunk0/0.pt")
+        assert len(predicts) == 12
+        for rid, p in predicts.items():
+            assert p.id == rid
+            assert len(p.prediction) == len(p.seq)
+            assert set(np.unique(p.prediction)) <= {0, 1}
+            assert set(p.seq) <= set("ACGTN")
+
+    def test_load_reference_pt_dir(self, reference_data):
+        predicts = P.load_predicts_from_batch_pts(reference_data / "eval")
+        assert len(predicts) > 12
+        capped = P.load_predicts_from_batch_pts(reference_data / "eval", max_predicts=1)
+        assert 0 < len(capped) <= len(predicts)
+
+    def test_npz_roundtrip_matches_pt_decode(self, reference_data, tmp_path):
+        import torch
+
+        t = torch.load(reference_data / "eval/chunk0/0.pt", map_location="cpu", weights_only=False)
+        P.write_prediction_shard(
+            tmp_path / "0.npz",
+            t["prediction"].numpy(),
+            t["target"].numpy(),
+            t["seq"].numpy(),
+            t["qual"].numpy(),
+            t["id"].numpy(),
+        )
+        from_pt = P.load_predicts_from_batch_pt(reference_data / "eval/chunk0/0.pt")
+        from_npz = P.load_predicts_from_batch_npz(tmp_path / "0.npz")
+        assert from_pt.keys() == from_npz.keys()
+        for k in from_pt:
+            assert from_pt[k].seq == from_npz[k].seq
+            np.testing.assert_array_equal(from_pt[k].prediction, from_npz[k].prediction)
+
+    def test_pack_read_ids_roundtrip(self):
+        ids = ["read-abc|1:2", "x" * 300]
+        packed = P.pack_read_ids(ids, [False, True])
+        assert packed.shape == (2, default.MAX_ID_LENGTH)
+        from deepchopper_tpu.ops.sequence import ascii_list2str
+
+        assert ascii_list2str(packed[0, 2 : 2 + packed[0, 0]]) == ids[0]
+        assert packed[1, 1] == 1
+
+    def test_smooth_and_select_on_real_predict(self, reference_data):
+        predicts = P.load_predicts_from_batch_pt(reference_data / "eval/chunk0/0.pt")
+        for p in predicts.values():
+            intervals = p.smooth_and_select_intervals(21, 13, 20)
+            for s, e in intervals:
+                assert 0 <= s < e <= len(p.seq)
