@@ -1,0 +1,49 @@
+"""Top-level token-classification models: backbone + qual-fusing head.
+
+Equivalent of the reference's `TokenClassificationModule`
+(reference: deepchopper/models/llm/hyena.py:8-41): backbone hidden states are
+fed, together with L2-normalized base qualities, to the MLP head producing
+per-base 2-class logits.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import HeadConfig, HyenaConfig, TransformerConfig
+from .head import TokenClassificationHead
+from .hyena import HyenaBackbone
+from .transformer import TransformerBackbone
+
+
+class HyenaTokenClassifier(nn.Module):
+    """HyenaDNA backbone + token-classification head (the flagship model)."""
+
+    backbone_config: HyenaConfig
+    head_config: HeadConfig
+    number_of_classes: int = 2
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
+        hidden = HyenaBackbone(self.backbone_config, name="backbone")(input_ids)
+        return TokenClassificationHead(self.head_config, name="head")(hidden, input_quals)
+
+
+class TransformerTokenClassifier(nn.Module):
+    """Transformer-encoder baseline + head
+    (reference capability: deepchopper/models/transformer.py)."""
+
+    backbone_config: TransformerConfig
+    head_config: HeadConfig
+    number_of_classes: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        input_quals: jnp.ndarray,
+        pad_mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        hidden = TransformerBackbone(self.backbone_config, name="backbone")(input_ids, pad_mask)
+        return TokenClassificationHead(self.head_config, name="head")(hidden, input_quals)

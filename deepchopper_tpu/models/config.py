@@ -1,0 +1,97 @@
+"""Model configurations.
+
+`HyenaConfig` mirrors the public HyenaDNA architecture hyperparameters the
+reference depends on via `AutoModel.from_pretrained("LongSafari/hyenadna-*-hf")`
+(reference: deepchopper/models/llm/hyena.py:8-41). The backbone is re-derived
+here TPU-first — no torch code is used.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class HyenaConfig:
+    """HyenaDNA backbone hyperparameters (small-32k defaults)."""
+
+    d_model: int = 256
+    n_layer: int = 4
+    d_inner: int = 1024
+    vocab_size: int = 12
+    pad_vocab_size_multiple: int = 8
+    emb_dim: int = 5  # positional-embedding feature dim (odd: t + bands*(re,im))
+    filter_order: int = 64  # width of the implicit-filter MLP
+    short_filter_order: int = 3  # depthwise conv kernel size
+    hyena_order: int = 2
+    num_inner_mlps: int = 2
+    max_seq_len: int = 32770
+    activation_freq: float = 10.0  # sine activation frequency (w)
+    train_freq: bool = True
+    use_bias: bool = True
+    layer_norm_epsilon: float = 1e-5
+    # Exponential filter modulation
+    modulation_fast_decay_pct: float = 0.3
+    modulation_slow_decay_pct: float = 1.5
+    modulation_target: float = 1e-2
+    modulation_shift: float = 0.0
+    # Numerics: matmuls run in this dtype; FFT/LN always in float32.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.pad_vocab_size_multiple
+        return ((self.vocab_size + m - 1) // m) * m
+
+
+SMALL_32K = HyenaConfig()
+TINY_1K = HyenaConfig(d_model=128, n_layer=2, d_inner=512, max_seq_len=1026)
+MEDIUM_160K = HyenaConfig(d_model=256, n_layer=8, d_inner=1024, max_seq_len=160_002)
+MEDIUM_450K = HyenaConfig(d_model=256, n_layer=8, d_inner=1024, max_seq_len=450_002)
+LARGE_1M = HyenaConfig(d_model=256, n_layer=8, d_inner=1024, max_seq_len=1_000_002)
+
+HYENA_CONFIGS: dict[str, HyenaConfig] = {
+    "hyenadna-tiny-1k-seqlen": TINY_1K,
+    "hyenadna-small-32k-seqlen": SMALL_32K,
+    "hyenadna-medium-160k-seqlen": MEDIUM_160K,
+    "hyenadna-medium-450k-seqlen": MEDIUM_450K,
+    "hyenadna-large-1m-seqlen": LARGE_1M,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    """Token-classification head (reference: deepchopper/models/llm/head.py:39-102)."""
+
+    input_size: int = 256
+    lin1_size: int = 1024
+    lin2_size: int = 1024
+    num_class: int = 2
+    use_identity_layer_for_qual: bool = True
+    use_qual: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """From-scratch transformer-encoder baseline
+    (reference: deepchopper/models/transformer.py:12-107)."""
+
+    vocab_size: int = 12
+    d_model: int = 256
+    n_heads: int = 8
+    n_layers: int = 4
+    d_ff: int = 1024
+    max_len: int = 32768
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class CnnConfig:
+    """CNN baseline (reference: deepchopper/models/cnn.py:6-54)."""
+
+    vocab_size: int = 12
+    embed_dim: int = 100
+    num_filters: tuple[int, ...] = (128, 256, 512)
+    filter_sizes: tuple[int, ...] = (7, 9, 11)
+    num_class: int = 2
+    compute_dtype: str = "bfloat16"

@@ -1,0 +1,81 @@
+"""Token-classification heads with quality fusion.
+
+Re-implements the reference head math exactly
+(reference: deepchopper/models/llm/head.py:39-102): lin1 -> ReLU -> qual
+residual add -> (lin2(res) + res) -> ReLU -> lin3. With
+`use_identity_layer_for_qual=True` the qual contribution is the raw normalized
+quality broadcast-added over the hidden dim (torch nn.Identity on
+`quals.unsqueeze(-1)`), which is what the shipped checkpoints use.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import CnnConfig, HeadConfig
+
+
+class TokenClassificationHead(nn.Module):
+    config: HeadConfig
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        if cfg.lin1_size != cfg.lin2_size:
+            raise ValueError(f"lin1_size={cfg.lin1_size} and lin2_size={cfg.lin2_size} must be equal")
+        out = jax.nn.relu(nn.Dense(cfg.lin1_size, name="linear1", dtype=jnp.float32)(hidden))
+        if cfg.use_qual:
+            if cfg.use_identity_layer_for_qual:
+                qual_term = input_quals[..., None]  # broadcast over hidden dim
+            else:
+                qual_term = nn.Dense(cfg.lin1_size, name="qual_linear1", dtype=jnp.float32)(
+                    input_quals[..., None]
+                )
+            residual = out + qual_term
+            out = jax.nn.relu(nn.Dense(cfg.lin2_size, name="linear2", dtype=jnp.float32)(residual) + residual)
+        else:
+            out = jax.nn.relu(nn.Dense(cfg.lin2_size, name="linear2", dtype=jnp.float32)(out))
+        return nn.Dense(cfg.num_class, name="linear3", dtype=jnp.float32)(out)
+
+
+class TokenClassificationCnnHead(nn.Module):
+    """Conv1d head variant (reference: deepchopper/models/llm/head.py:6-36)."""
+
+    input_size: int
+    num_class: int
+    num_filters: tuple[int, ...]
+    filter_sizes: tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, input_quals: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        qual = nn.Dense(self.num_class, name="qual_linear1")(input_quals[..., None])
+        # Note: reference adds a num_class-dim qual projection onto the hidden
+        # features (shape mismatch tolerated by torch broadcasting only when
+        # num_class == hidden); we follow the sane broadcastable variant.
+        x = jax.nn.relu(hidden + jnp.mean(qual, axis=-1, keepdims=True))
+        for i, (nf, fs) in enumerate(zip(self.num_filters, self.filter_sizes)):
+            x = nn.Conv(nf, kernel_size=(fs,), padding="SAME", name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
+            x = jax.nn.relu(x)
+        return nn.Dense(self.num_class, name="dense")(x)
+
+
+class BenchmarkCNN(nn.Module):
+    """Standalone CNN baseline (reference: deepchopper/models/cnn.py:6-54)."""
+
+    config: CnnConfig
+    number_of_classes: int = 2
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, input_quals: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cfg = self.config
+        x = nn.Embed(cfg.vocab_size, cfg.embed_dim, name="embedding")(input_ids)
+        qual = nn.Dense(cfg.embed_dim, name="qual_linear")(input_quals[..., None])
+        x = jax.nn.relu(x + qual)
+        for i, (nf, fs) in enumerate(zip(cfg.num_filters, cfg.filter_sizes)):
+            x = nn.Conv(nf, kernel_size=(fs,), padding="SAME", name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, name=f"bn_{i}")(x)
+            x = jax.nn.relu(x)
+        return nn.Dense(cfg.num_class, name="dense")(x)

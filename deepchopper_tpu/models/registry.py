@@ -1,0 +1,196 @@
+"""Model registry and the `DeepChopper` factory.
+
+Mirrors the reference's model surface (reference: deepchopper/models/dc_hg.py:9-163,
+deepchopper/cli.py:120-131): named architectures -> flax module + init, plus
+checkpoint load/save. Pretrained torch checkpoints convert through
+`models.convert` when a local torch checkpoint is available (this environment
+has no network egress, so `from_pretrained` requires a local path or cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .classifier import HyenaTokenClassifier, TransformerTokenClassifier
+from .config import (
+    HYENA_CONFIGS,
+    CnnConfig,
+    HeadConfig,
+    HyenaConfig,
+    TransformerConfig,
+)
+from .head import BenchmarkCNN
+
+# Registry of backbone names, mirroring the reference's supported set
+# (reference: deepchopper/models/llm/caduceus.py:5-55, cli.py:120-131).
+MODEL_REGISTRY: dict[str, Callable[[], Any]] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """A model definition plus its (possibly untrained) parameters."""
+
+    module: Any
+    params: Any
+    name: str
+    config: Any
+
+    def apply(self, input_ids: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply({"params": self.params}, input_ids, input_quals)
+
+
+def _default_head() -> HeadConfig:
+    return HeadConfig(
+        input_size=256,
+        lin1_size=1024,
+        lin2_size=1024,
+        num_class=2,
+        use_identity_layer_for_qual=True,
+        use_qual=True,
+    )
+
+
+@register("hyenadna-small-32k-seqlen")
+@register("rna002")
+@register("rna004")
+def _hyena_small() -> Any:
+    return HyenaTokenClassifier(
+        backbone_config=HYENA_CONFIGS["hyenadna-small-32k-seqlen"],
+        head_config=_default_head(),
+    )
+
+
+@register("hyenadna-tiny-1k-seqlen")
+def _hyena_tiny() -> Any:
+    return HyenaTokenClassifier(
+        backbone_config=HYENA_CONFIGS["hyenadna-tiny-1k-seqlen"],
+        head_config=dataclasses.replace(_default_head(), input_size=128),
+    )
+
+
+@register("transformer")
+def _transformer() -> Any:
+    return TransformerTokenClassifier(
+        backbone_config=TransformerConfig(), head_config=_default_head()
+    )
+
+
+@register("cnn")
+def _cnn() -> Any:
+    return BenchmarkCNN(config=CnnConfig())
+
+
+def build_model(name: str) -> Any:
+    if name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name]()
+
+
+def init_params(module: Any, seed: int = 0, seq_len: int = 1024, batch: int = 1) -> Any:
+    """Initialize parameters with a tiny dummy batch (shapes don't bind L)."""
+    rng = jax.random.PRNGKey(seed)
+    ids = jnp.zeros((batch, seq_len), dtype=jnp.int32)
+    quals = jnp.zeros((batch, seq_len), dtype=jnp.float32)
+    variables = module.init(rng, ids, quals)
+    return variables["params"]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save/load (msgpack via flax serialization)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str | Path, params: Any, metadata: dict | None = None) -> None:
+    from flax import serialization
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    blob = serialization.to_bytes(params)
+    payload = {"params_msgpack": blob, "metadata": metadata or {}}
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as fh:
+        pickle.dump(payload, fh, protocol=4)
+    tmp.replace(path)
+
+
+def load_checkpoint(path: str | Path, template_params: Any) -> tuple[Any, dict]:
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        payload = pickle.load(fh)
+    params = serialization.from_bytes(template_params, payload["params_msgpack"])
+    return params, payload.get("metadata", {})
+
+
+# ---------------------------------------------------------------------------
+# DeepChopper factory (reference: deepchopper/models/dc_hg.py)
+# ---------------------------------------------------------------------------
+
+
+class DeepChopper:
+    """Factory with the reference's entrypoints, returning `ModelBundle`s."""
+
+    PRETRAINED_ALIASES = {
+        "yangliz5/deepchopper": "rna002",
+        "yangliz5/deepchopper-rna004": "rna004",
+        "rna002": "rna002",
+        "rna004": "rna004",
+    }
+
+    @staticmethod
+    def new(name: str = "hyenadna-small-32k-seqlen", seed: int = 0) -> ModelBundle:
+        module = build_model(name)
+        params = init_params(module, seed=seed)
+        return ModelBundle(module=module, params=params, name=name, config=getattr(module, "backbone_config", None))
+
+    @staticmethod
+    def from_checkpoint(checkpoint_path: str | Path, name: str = "hyenadna-small-32k-seqlen") -> ModelBundle:
+        """Load a native checkpoint saved by `save_checkpoint`
+        (reference capability: dc_hg.py `from_checkpoint`)."""
+        bundle = DeepChopper.new(name)
+        params, _meta = load_checkpoint(checkpoint_path, bundle.params)
+        return dataclasses.replace(bundle, params=params)
+
+    @staticmethod
+    def from_pretrained(model_name: str, torch_checkpoint: str | Path | None = None) -> ModelBundle:
+        """Load pretrained weights.
+
+        With no network egress, pass `torch_checkpoint` pointing at a local
+        torch state_dict / HF snapshot of the reference checkpoint; it is
+        converted to a JAX pytree via `models.convert`. Without one, returns
+        fresh-initialized weights with a warning.
+        """
+        import logging
+
+        name = DeepChopper.PRETRAINED_ALIASES.get(model_name, model_name)
+        bundle = DeepChopper.new(name)
+        if torch_checkpoint is not None:
+            from .convert import convert_torch_state_dict
+
+            params = convert_torch_state_dict(torch_checkpoint, bundle.params)
+            return dataclasses.replace(bundle, params=params)
+        logging.getLogger(__name__).warning(
+            "no local torch checkpoint provided for %s; using random init "
+            "(network egress is unavailable in this environment)",
+            model_name,
+        )
+        return bundle
+
+    @staticmethod
+    def to_checkpoint(bundle: ModelBundle, path: str | Path) -> None:
+        save_checkpoint(path, bundle.params, {"name": bundle.name})

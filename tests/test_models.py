@@ -1,0 +1,159 @@
+"""Model-plane tests: shapes, jit, numerics, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepchopper_tpu.models import (
+    DeepChopper,
+    HeadConfig,
+    HyenaConfig,
+    HyenaTokenClassifier,
+    TokenClassificationHead,
+    build_model,
+    fft_causal_conv,
+    init_params,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+TINY = HyenaConfig(d_model=64, n_layer=2, d_inner=128, max_seq_len=2048)
+# Numeric-property tests run in f32: bf16 matmul rounding varies with padding
+# shape (XLA tiling) at the ~1e-2 level, which is mixed-precision noise, not an
+# architecture property.
+TINY_F32 = HyenaConfig(
+    d_model=64, n_layer=2, d_inner=128, max_seq_len=2048, compute_dtype="float32"
+)
+TINY_HEAD = HeadConfig(input_size=64, lin1_size=96, lin2_size=96, num_class=2)
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle():
+    module = HyenaTokenClassifier(backbone_config=TINY, head_config=TINY_HEAD)
+    params = init_params(module, seed=0, seq_len=128, batch=1)
+    return module, params
+
+
+@pytest.fixture(scope="module")
+def tiny_bundle_f32():
+    module = HyenaTokenClassifier(backbone_config=TINY_F32, head_config=TINY_HEAD)
+    params = init_params(module, seed=0, seq_len=128, batch=1)
+    return module, params
+
+
+class TestHyena:
+    def test_forward_shape(self, tiny_bundle):
+        module, params = tiny_bundle
+        ids = jnp.zeros((2, 256), dtype=jnp.int32)
+        quals = jnp.zeros((2, 256), dtype=jnp.float32)
+        logits = module.apply({"params": params}, ids, quals)
+        assert logits.shape == (2, 256, 2)
+        assert logits.dtype == jnp.float32
+
+    def test_jit_and_length_generalization(self, tiny_bundle):
+        module, params = tiny_bundle
+        fwd = jax.jit(lambda p, i, q: module.apply({"params": p}, i, q))
+        for L in (64, 512):
+            out = fwd(params, jnp.zeros((1, L), jnp.int32), jnp.zeros((1, L), jnp.float32))
+            assert out.shape == (1, L, 2)
+
+    def test_causality(self, tiny_bundle_f32):
+        """Future bases must not change past logits (causal conv stack)."""
+        module, params = tiny_bundle_f32
+        rng = np.random.default_rng(0)
+        ids = rng.integers(7, 12, (1, 128)).astype(np.int32)
+        quals = rng.random((1, 128)).astype(np.float32)
+        out1 = module.apply({"params": params}, jnp.asarray(ids), jnp.asarray(quals))
+        ids2 = ids.copy()
+        ids2[0, 100:] = 7  # mutate the tail
+        out2 = module.apply({"params": params}, jnp.asarray(ids2), jnp.asarray(quals))
+        np.testing.assert_allclose(out1[0, :100], out2[0, :100], atol=2e-4)
+        assert not np.allclose(out1[0, 100:], out2[0, 100:])
+
+    def test_padding_invariance_with_right_pad(self, tiny_bundle_f32):
+        """Right padding must not change logits at valid positions — the
+        property that makes bucketed fixed shapes safe on TPU."""
+        module, params = tiny_bundle_f32
+        rng = np.random.default_rng(1)
+        ids = rng.integers(7, 12, (1, 100)).astype(np.int32)
+        quals = rng.random((1, 100)).astype(np.float32)
+        out = module.apply({"params": params}, jnp.asarray(ids), jnp.asarray(quals))
+        padded_ids = np.concatenate([ids, np.full((1, 28), 4, np.int32)], axis=1)
+        padded_quals = np.concatenate([quals, np.zeros((1, 28), np.float32)], axis=1)
+        out_p = module.apply({"params": params}, jnp.asarray(padded_ids), jnp.asarray(padded_quals))
+        np.testing.assert_allclose(out[0], out_p[0, :100], atol=2e-4)
+
+
+class TestFftConv:
+    def test_matches_direct_convolution(self):
+        rng = np.random.default_rng(0)
+        L, D = 64, 4
+        v = rng.standard_normal((2, L, D)).astype(np.float32)
+        k = rng.standard_normal((L, D)).astype(np.float32)
+        bias = rng.standard_normal(D).astype(np.float32)
+        out = np.asarray(fft_causal_conv(jnp.asarray(v), jnp.asarray(k), jnp.asarray(bias)))
+        # direct causal conv: y[t] = sum_{s<=t} v[s] k[t-s]
+        expect = np.zeros_like(v)
+        for b in range(2):
+            for d in range(D):
+                expect[b, :, d] = np.convolve(v[b, :, d], k[:, d])[:L]
+        expect += v * bias[None, None, :]
+        np.testing.assert_allclose(out, expect, atol=1e-3)
+
+
+class TestHead:
+    def test_identity_qual_residual_matches_torch_semantics(self):
+        """With identity qual layer, the qual is broadcast-added to the lin1
+        output — mirror of head.py:75-102 in the reference."""
+        import torch
+
+        cfg = HeadConfig(input_size=8, lin1_size=16, lin2_size=16, num_class=2)
+        head = TokenClassificationHead(cfg)
+        rng = np.random.default_rng(0)
+        hidden = rng.standard_normal((1, 10, 8)).astype(np.float32)
+        quals = rng.random((1, 10)).astype(np.float32)
+        params = head.init(jax.random.PRNGKey(0), jnp.asarray(hidden), jnp.asarray(quals))["params"]
+        mine = head.apply({"params": params}, jnp.asarray(hidden), jnp.asarray(quals))
+
+        # Torch reference computation with the same weights
+        w1 = torch.tensor(np.asarray(params["linear1"]["kernel"]).T)
+        b1 = torch.tensor(np.asarray(params["linear1"]["bias"]))
+        w2 = torch.tensor(np.asarray(params["linear2"]["kernel"]).T)
+        b2 = torch.tensor(np.asarray(params["linear2"]["bias"]))
+        w3 = torch.tensor(np.asarray(params["linear3"]["kernel"]).T)
+        b3 = torch.tensor(np.asarray(params["linear3"]["bias"]))
+        x = torch.tensor(hidden)
+        q = torch.tensor(quals)
+        out = torch.relu(x @ w1.T + b1)
+        residual = out + q.unsqueeze(-1)
+        out = torch.relu(residual @ w2.T + b2 + residual)
+        out = out @ w3.T + b3
+        np.testing.assert_allclose(np.asarray(mine), out.numpy(), atol=1e-5)
+
+
+class TestRegistryAndCheckpoints:
+    def test_build_known_models(self):
+        for name in ("transformer", "cnn", "hyenadna-tiny-1k-seqlen"):
+            assert build_model(name) is not None
+
+    def test_unknown_model_raises(self):
+        with pytest.raises(KeyError):
+            build_model("nope")
+
+    def test_checkpoint_roundtrip(self, tiny_bundle, tmp_path):
+        module, params = tiny_bundle
+        save_checkpoint(tmp_path / "ckpt.dc", params, {"name": "tiny"})
+        loaded, meta = load_checkpoint(tmp_path / "ckpt.dc", params)
+        assert meta["name"] == "tiny"
+        flat1 = jax.tree_util.tree_leaves(params)
+        flat2 = jax.tree_util.tree_leaves(loaded)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_from_pretrained_without_ckpt_warns_and_inits(self):
+        bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen")
+        ids = jnp.zeros((1, 64), jnp.int32)
+        quals = jnp.zeros((1, 64), jnp.float32)
+        assert bundle.apply(ids, quals).shape == (1, 64, 2)
