@@ -146,17 +146,27 @@ def run_chop(
 ) -> ChopStats:
     """Full streaming chop run (reference: src/bin/predict.rs:197-384)."""
     opts = opts or ChopOptions()
-    fq_path = Path(fq_path)
-    start = time.monotonic()
-    stats = ChopStats()
-
     all_predicts: dict[str, Predict] = {}
     for p in predict_paths:
         all_predicts.update(
             load_predicts_from_batch_pts(p, default.IGNORE_LABEL, opts.max_batch_size)
         )
+    log.info("collected %d predictions", len(all_predicts))
+    return stream_chop_with_predicts(all_predicts, fq_path, opts)
+
+
+def stream_chop_with_predicts(
+    all_predicts: dict[str, Predict],
+    fq_path: str | Path,
+    opts: ChopOptions | None = None,
+) -> ChopStats:
+    """Streaming chop with predictions already in memory (fused predict+chop
+    path; capability of the reference's `predict_cli`, src/cli.rs:57-165)."""
+    opts = opts or ChopOptions()
+    fq_path = Path(fq_path)
+    start = time.monotonic()
+    stats = ChopStats()
     stats.predicts_loaded = len(all_predicts)
-    log.info("collected %d predictions", stats.predicts_loaded)
 
     if opts.output_prefix is not None:
         out_dir = Path(opts.output_prefix).parent or Path(".")

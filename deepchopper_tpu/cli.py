@@ -1,0 +1,199 @@
+"""Command-line interface: predict / chop / web / encode / eval-bam / stat.
+
+Mirrors the reference's typer CLI surface and flags
+(reference: deepchopper/cli.py:66-257) using argparse (typer is not available
+in this environment). `chop` runs the native pipeline in-process instead of
+shelling out to a separate binary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from pathlib import Path
+
+from . import __version__
+
+
+def _add_predict(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("predict", help="Predict per-base adapter labels for a FASTQ")
+    p.add_argument("data_path", type=Path, help="Path to the FASTQ dataset")
+    p.add_argument("--output", "-o", type=Path, default=Path("predictions"))
+    p.add_argument("--batch-tokens", type=int, default=1 << 17, help="Tokens per device batch")
+    p.add_argument("--batch-size", "-b", type=int, default=None, help="Cap on reads per batch")
+    p.add_argument("--model", "-m", default="rna002", help="Model name (rna002, rna004, or registry name)")
+    p.add_argument("--checkpoint", type=Path, default=None, help="Native checkpoint path")
+    p.add_argument("--torch-checkpoint", type=Path, default=None, help="Reference torch checkpoint to convert")
+    p.add_argument("--max-sample", type=int, default=None)
+    p.add_argument("--limit-batches", type=int, default=None)
+    p.add_argument("--max-length", type=int, default=32768)
+    p.add_argument("--fused-chop", action="store_true", help="Skip shard IO: predict and chop in one pass")
+    p.add_argument("--fq", type=Path, default=None, help="FASTQ for --fused-chop qualities (defaults to data_path)")
+    p.add_argument("--verbose", "-v", action="store_true")
+
+
+def _add_chop(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("chop", help="Chop reads using prediction shards")
+    p.add_argument("predicts", type=Path, nargs="+", help="Prediction shard dirs/files (.pt or .npz)")
+    p.add_argument("fq", type=Path, help="FASTQ file")
+    p.add_argument("--smooth-window", "-s", type=int, default=21)
+    p.add_argument("--min-interval-size", "--mis", type=int, default=13)
+    p.add_argument("--approved-intervals", "-a", type=int, default=20)
+    p.add_argument("--max-process-intervals", "--mpi", type=int, default=4)
+    p.add_argument("--min-read-length", "--mcr", type=int, default=20)
+    p.add_argument("--output-chopped", "--ocq", action="store_true")
+    p.add_argument("--chop-type", "--ct", default="all", choices=["terminal", "internal", "all"])
+    p.add_argument("--threads", "-t", type=int, default=2)
+    p.add_argument("--output", "-o", dest="output_prefix", default=None)
+    p.add_argument("--max-batch", "-m", type=int, default=None)
+    p.add_argument("--chunk-size", type=int, default=10000)
+    p.add_argument("--verbose", "-v", action="store_true")
+
+
+def _add_misc(sub: argparse._SubParsersAction) -> None:
+    p = sub.add_parser("web", help="Launch the web UI")
+    p.add_argument("--port", type=int, default=7860)
+
+    p = sub.add_parser("encode", help="Encode FASTQ(s) to parquet datasets")
+    p.add_argument("paths", type=Path, nargs="+")
+    p.add_argument("--chunk", action="store_true", help="Write chunked parquet")
+    p.add_argument("--chunk-size", type=int, default=1_000_000)
+
+    p = sub.add_parser("stat", help="Read-length summary for FASTQ/FASTA/BAM")
+    p.add_argument("path", type=Path)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="deepchopper-tpu",
+        description="DeepChopper-TPU: a genomic language model to identify artificial sequences.",
+    )
+    parser.add_argument("--version", "-V", action="version", version=f"DeepChopper-TPU {__version__}")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_predict(sub)
+    _add_chop(sub)
+    _add_misc(sub)
+    return parser
+
+
+def cmd_predict(args: argparse.Namespace) -> int:
+    from .chop import ChopOptions, run_chop
+    from .infer import PredictEngine
+    from .models.registry import DeepChopper
+
+    if not args.data_path.exists():
+        print(f"Error: data path '{args.data_path}' does not exist.", file=sys.stderr)
+        return 1
+
+    if args.checkpoint is not None:
+        bundle = DeepChopper.from_checkpoint(args.checkpoint, DeepChopper.PRETRAINED_ALIASES.get(args.model, args.model))
+    else:
+        bundle = DeepChopper.from_pretrained(args.model, torch_checkpoint=args.torch_checkpoint)
+
+    engine = PredictEngine(
+        bundle,
+        max_length=args.max_length,
+        tokens_per_batch=args.batch_tokens,
+        max_batch=args.batch_size or 512,
+        return_labels=args.fused_chop,
+    )
+    if args.fused_chop:
+        predicts = engine.predict_to_predicts(args.data_path, max_samples=args.max_sample)
+        from .chop.pipeline import stream_chop_with_predicts
+
+        stats = stream_chop_with_predicts(predicts, args.fq or args.data_path, ChopOptions())
+        print(f"chopped {stats.total_fq_count} reads -> {stats.total_output_count} records -> {stats.output_file}")
+    else:
+        stats = engine.predict_file(
+            args.data_path,
+            args.output,
+            max_samples=args.max_sample,
+            limit_batches=args.limit_batches,
+        )
+        print(
+            f"predicted {stats.reads} reads in {stats.elapsed_s:.1f}s "
+            f"({stats.reads_per_s:.0f} reads/s excl. compile) -> {args.output}"
+        )
+    return 0
+
+
+def cmd_chop(args: argparse.Namespace) -> int:
+    from .chop import ChopOptions, run_chop
+    from .io.chop import ChopType
+
+    opts = ChopOptions(
+        smooth_window_size=args.smooth_window,
+        min_interval_size=args.min_interval_size,
+        approved_interval_number=args.approved_intervals,
+        max_process_intervals=args.max_process_intervals,
+        min_read_length_after_chop=args.min_read_length,
+        output_chopped_seqs=args.output_chopped,
+        chop_type=ChopType.parse(args.chop_type),
+        chunk_size=args.chunk_size,
+        threads=args.threads,
+        max_batch_size=args.max_batch,
+        output_prefix=args.output_prefix,
+    )
+    stats = run_chop(list(args.predicts), args.fq, opts)
+    print(
+        f"processed {stats.total_fq_count} reads -> {stats.total_output_count} records "
+        f"in {stats.elapsed_s:.1f}s -> {stats.output_file}"
+    )
+    return 0
+
+
+def cmd_web(args: argparse.Namespace) -> int:
+    try:
+        from .ui.main import launch
+    except ImportError as exc:
+        print(f"web UI unavailable: {exc}", file=sys.stderr)
+        return 1
+    launch(port=args.port)
+    return 0
+
+
+def cmd_encode(args: argparse.Namespace) -> int:
+    from .io.parquet import encode_fq_path_to_parquet, encode_fq_path_to_parquet_chunk
+
+    for path in args.paths:
+        if args.chunk:
+            out = encode_fq_path_to_parquet_chunk(path, chunk_size=args.chunk_size)
+        else:
+            out = encode_fq_path_to_parquet(path)
+        print(f"encoded {path} -> {out}")
+    return 0
+
+
+def cmd_stat(args: argparse.Namespace) -> int:
+    from .utils.stat import summary_record_len
+
+    lens = summary_record_len(args.path)
+    import numpy as np
+
+    arr = np.asarray(lens)
+    print(
+        f"{args.path}: n={arr.size} min={arr.min()} p50={int(np.median(arr))} "
+        f"mean={arr.mean():.1f} max={arr.max()}"
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if getattr(args, "verbose", False) else logging.WARNING,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    handlers = {
+        "predict": cmd_predict,
+        "chop": cmd_chop,
+        "web": cmd_web,
+        "encode": cmd_encode,
+        "stat": cmd_stat,
+    }
+    return handlers[args.command](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

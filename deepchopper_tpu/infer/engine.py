@@ -1,0 +1,238 @@
+"""TPU inference engine: bucketed, jit-cached, async-pipelined predict.
+
+Replaces the reference's Lightning predict loop
+(reference: deepchopper/cli.py:66-152, deepchopper/models/basic_module.py:197-207):
+
+* one XLA compile per bucket shape (batch dims padded up to the bucket target
+  so partial batches reuse the same executable);
+* device steps dispatch asynchronously ahead of host IO (JAX async dispatch
+  gives a natural 2-deep pipeline: while the TPU runs batch i, the host
+  encodes/pads batch i+1 and writes shard i-1);
+* shards follow the predict->chop contract
+  (reference: deepchopper/models/callbacks.py:12-25) as `.npz` under
+  `output_dir/<dataloader_idx>/<rank>_<batch>.npz`;
+* the fused path skips shard IO entirely: on-device argmax -> host
+  majority-vote smoothing -> chop (capability of the reference's in-memory
+  `predict_cli`, src/cli.rs:57-165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections.abc import Iterator
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import default
+from ..data.bucketing import Batch, default_buckets
+from ..data.fastq_module import iter_batches
+from ..models.registry import ModelBundle
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PredictStats:
+    reads: int = 0
+    batches: int = 0
+    tokens: int = 0
+    elapsed_s: float = 0.0
+    compile_s: float = 0.0
+
+    @property
+    def reads_per_s(self) -> float:
+        run = max(self.elapsed_s - self.compile_s, 1e-9)
+        return self.reads / run
+
+    @property
+    def tokens_per_s(self) -> float:
+        run = max(self.elapsed_s - self.compile_s, 1e-9)
+        return self.tokens / run
+
+
+class PredictEngine:
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        max_length: int = 32768,
+        tokens_per_batch: int = 1 << 17,
+        buckets: list[int] | None = None,
+        max_batch: int = 512,
+        return_labels: bool = False,
+    ):
+        self.bundle = bundle
+        self.max_length = max_length
+        self.tokens_per_batch = tokens_per_batch
+        self.buckets = buckets or default_buckets(max_length)
+        self.max_batch = max_batch
+        self.return_labels = return_labels
+        self._compiled: dict[tuple[int, int], object] = {}
+        self.stats = PredictStats()
+
+        module = bundle.module
+
+        def _logits_step(params, input_ids, input_quals):
+            return module.apply({"params": params}, input_ids, input_quals)
+
+        def _labels_step(params, input_ids, input_quals):
+            logits = module.apply({"params": params}, input_ids, input_quals)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+
+        self._step_fn = _labels_step if return_labels else _logits_step
+        self._params = jax.device_put(bundle.params)
+
+    # -- compilation ------------------------------------------------------
+
+    def _get_step(self, shape: tuple[int, int]):
+        fn = self._compiled.get(shape)
+        if fn is None:
+            t0 = time.monotonic()
+            fn = jax.jit(self._step_fn)
+            # Trigger compile eagerly so compile time is attributable.
+            ids = jnp.zeros(shape, jnp.int32)
+            quals = jnp.zeros(shape, jnp.float32)
+            fn(self._params, ids, quals)
+            dt = time.monotonic() - t0
+            self.stats.compile_s += dt
+            log.info("compiled bucket %s in %.1fs", shape, dt)
+            self._compiled[shape] = fn
+        return fn
+
+    def _bucket_batch_size(self, width: int) -> int:
+        return max(1, min(self.max_batch, self.tokens_per_batch // width))
+
+    def warmup(self, buckets: list[int] | None = None) -> float:
+        """Precompile every bucket shape; returns total compile seconds.
+
+        Partial batches are padded up to each bucket's target batch size, so
+        after warmup the whole run executes with zero recompilation.
+        """
+        t0 = time.monotonic()
+        for w in buckets or self.buckets:
+            self._get_step((self._bucket_batch_size(w), w))
+        return time.monotonic() - t0
+
+    # -- prediction -------------------------------------------------------
+
+    def predict_batches(self, batches: Iterator[Batch]) -> Iterator[tuple[Batch, np.ndarray]]:
+        """Yield (batch, outputs) with a 1-deep async pipeline.
+
+        Outputs are (B, W, 2) float32 logits, or (B, W) int8 labels when
+        `return_labels`. Partial batches are padded up to the bucket's target
+        batch size on the batch axis; outputs are sliced back before yielding.
+        """
+        t_start = time.monotonic()
+        pending: tuple[Batch, object] | None = None
+        for batch in batches:
+            b, w = batch.input_ids.shape
+            target_b = self._bucket_batch_size(w)
+            if b < target_b:
+                pad_ids = np.full((target_b - b, w), default.TOKEN_PAD, np.int32)
+                ids_in = np.concatenate([batch.input_ids, pad_ids], axis=0)
+                quals_in = np.concatenate(
+                    [batch.quals, np.zeros((target_b - b, w), np.float32)], axis=0
+                )
+            else:
+                ids_in, quals_in = batch.input_ids, batch.quals
+            step = self._get_step(ids_in.shape)
+            out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
+            if pending is not None:
+                pb, pout = pending
+                yield pb, np.asarray(pout)[: pb.input_ids.shape[0]]
+            pending = (batch, out_dev)
+            self.stats.batches += 1
+            self.stats.reads += b
+            self.stats.tokens += int(batch.lengths.sum())
+        if pending is not None:
+            pb, pout = pending
+            yield pb, np.asarray(pout)[: pb.input_ids.shape[0]]
+        self.stats.elapsed_s += time.monotonic() - t_start
+
+    def predict_file(
+        self,
+        fq_path: str | Path,
+        output_dir: str | Path,
+        rank: int = 0,
+        dataloader_idx: int = 0,
+        max_samples: int | None = None,
+        limit_batches: int | None = None,
+    ) -> PredictStats:
+        """Predict a FASTQ and write `.npz` shards with the chop contract."""
+        from ..io.predicts import write_prediction_shard
+
+        out = Path(output_dir) / str(dataloader_idx)
+        out.mkdir(parents=True, exist_ok=True)
+        batches = iter_batches(
+            fq_path,
+            max_length=self.max_length,
+            tokens_per_batch=self.tokens_per_batch,
+            buckets=self.buckets,
+            max_samples=max_samples,
+        )
+        for i, (batch, outputs) in enumerate(self.predict_batches(batches)):
+            if limit_batches is not None and i >= limit_batches:
+                break
+            write_prediction_shard(
+                out / f"{rank}_{i}.npz",
+                prediction=outputs,
+                target=batch.labels,
+                seq=batch.input_ids,
+                qual=batch.quals,
+                ids=batch.ids,
+            )
+        log.info(
+            "predict: %d reads, %d batches, %.0f reads/s (+%.1fs compile)",
+            self.stats.reads,
+            self.stats.batches,
+            self.stats.reads_per_s,
+            self.stats.compile_s,
+        )
+        return self.stats
+
+    # -- fused predict + chop ---------------------------------------------
+
+    def predict_to_predicts(
+        self,
+        fq_path: str | Path,
+        max_samples: int | None = None,
+    ) -> dict[str, "object"]:
+        """Fused path: FASTQ -> per-read `Predict`s without shard IO.
+
+        Uses on-device argmax (labels-only transfer) and decodes per-read
+        label/seq vectors on host.
+        """
+        from ..io.predicts import Predict
+        from ..ops.sequence import detokenize_bases
+
+        if not self.return_labels:
+            raise ValueError("construct PredictEngine(return_labels=True) for the fused path")
+        out: dict[str, Predict] = {}
+        batches = iter_batches(
+            fq_path,
+            max_length=self.max_length,
+            tokens_per_batch=self.tokens_per_batch,
+            buckets=self.buckets,
+            max_samples=max_samples,
+        )
+        for batch, labels in self.predict_batches(batches):
+            seqs = batch.seqs
+            for i, rid in enumerate(batch.read_ids):
+                n = int(batch.lengths[i]) - 1  # strip SEP
+                if seqs is not None and seqs[i] is not None:
+                    seq = seqs[i][:n]
+                else:
+                    seq = detokenize_bases(batch.input_ids[i, :n])
+                out[rid] = Predict(
+                    prediction=labels[i, :n].astype(np.int8),
+                    seq=seq,
+                    id=rid,
+                    is_truncated=bool(batch.ids[i, 1]),
+                    qual=None,
+                )
+        return out

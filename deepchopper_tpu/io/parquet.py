@@ -1,0 +1,130 @@
+"""Parquet/JSON dataset encoders.
+
+Equivalent of the reference's ParquetEncoder/JsonEncoder
+(reference: src/fq_encode/parquet_encoder.rs:41-168, json_encoder.rs:36-144):
+one row per read with schema {id: utf8, seq: utf8, qual: list<int32>,
+target: list<int32>}, plus chunked parallel writing to `<fq>_chunks/*.parquet`.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .. import default
+from ..ops.labels import parse_target_from_id
+from ..ops.qual import encode_qual
+
+
+def _record_rows(fq_path: str | Path, kmer_size: int = 0):
+    from .fastq import StreamingFastqReader
+
+    for rec in StreamingFastqReader(fq_path):
+        seq = rec.seq.decode("ascii").upper()
+        if kmer_size > 0 and len(seq) < kmer_size:
+            continue
+        if len(rec.seq) != len(rec.qual):
+            continue
+        targets = parse_target_from_id(rec.name)
+        flat = [int(v) for se in targets for v in se]
+        yield {
+            "id": rec.name,
+            "seq": seq,
+            "qual": encode_qual(rec.qual.decode("ascii")).tolist(),
+            "target": flat,
+        }
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("id", pa.string()),
+            pa.field("seq", pa.string()),
+            pa.field("qual", pa.list_(pa.int32())),
+            pa.field("target", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def encode_fq_path_to_parquet(
+    fq_path: str | Path, result_path: str | Path | None = None, **_kw
+) -> Path:
+    """Encode one FASTQ to one parquet file
+    (reference: src/python.rs `encode_fq_path_to_parquet`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fq_path = Path(fq_path)
+    if result_path is None:
+        result_path = fq_path.with_suffix(".parquet")
+    rows = list(_record_rows(fq_path))
+    table = pa.Table.from_pylist(rows, schema=_arrow_schema())
+    pq.write_table(table, result_path)
+    return Path(result_path)
+
+
+def encode_fq_paths_to_parquet(fq_paths: list[str | Path], **kw) -> list[Path]:
+    return [encode_fq_path_to_parquet(p, **kw) for p in fq_paths]
+
+
+def encode_fq_path_to_parquet_chunk(
+    fq_path: str | Path, chunk_size: int = 1_000_000, parallel: bool = True, **_kw
+) -> Path:
+    """Chunked encoding to `<stem>_chunks/*.parquet`
+    (reference: src/fq_encode/parquet_encoder.rs:115-168)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fq_path = Path(fq_path)
+    out_dir = fq_path.parent / f"{fq_path.stem}_chunks"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    schema = _arrow_schema()
+    chunk: list[dict] = []
+    idx = 0
+    for row in _record_rows(fq_path):
+        chunk.append(row)
+        if len(chunk) >= chunk_size:
+            pq.write_table(pa.Table.from_pylist(chunk, schema=schema), out_dir / f"{idx}.parquet")
+            chunk, idx = [], idx + 1
+    if chunk:
+        pq.write_table(pa.Table.from_pylist(chunk, schema=schema), out_dir / f"{idx}.parquet")
+    return out_dir
+
+
+def encode_fq_path_to_json(fq_path: str | Path, result_path: str | Path | None = None, **_kw) -> Path:
+    """Encode one FASTQ to JSON-lines
+    (reference: src/fq_encode/json_encoder.rs:36-144)."""
+    fq_path = Path(fq_path)
+    if result_path is None:
+        result_path = fq_path.with_suffix(".json")
+    with open(result_path, "w") as fh:
+        for row in _record_rows(fq_path):
+            fh.write(json.dumps(row) + "\n")
+    return Path(result_path)
+
+
+def write_json(records: list[dict], path: str | Path) -> None:
+    """(reference: src/output/json.rs:6-13)"""
+    with open(path, "w") as fh:
+        for row in records:
+            fh.write(json.dumps(row) + "\n")
+
+
+def write_parquet(records: list[dict], path: str | Path) -> None:
+    """(reference: src/output/parquet.rs:11-22)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist(records, schema=_arrow_schema()), path)
+
+
+def extract_records_by_ids(fq_path: str | Path, ids: list[str]) -> list:
+    """(reference: src/output/extract.rs:9-26)"""
+    from .fastq import StreamingFastqReader
+
+    wanted = set(ids)
+    return [rec for rec in StreamingFastqReader(fq_path) if rec.name in wanted]

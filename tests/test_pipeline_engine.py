@@ -1,0 +1,226 @@
+"""Data pipeline + inference engine + CLI + aux IO tests."""
+
+import numpy as np
+import pytest
+
+from deepchopper_tpu import default
+from deepchopper_tpu.data import (
+    bucketed_batches,
+    default_buckets,
+    encode_read,
+    iter_batches,
+    iter_encoded_reads,
+    parse_fastq_file,
+    pick_bucket,
+)
+
+
+class TestEncodeRead:
+    def test_contract(self):
+        enc = encode_read("r|3:6", "ACGTACGTAC", np.arange(10), [(3, 6)], max_length=32768)
+        assert enc.input_ids.tolist() == [7, 8, 9, 10, 7, 8, 9, 10, 7, 8, default.TOKEN_SEP]
+        assert enc.labels.tolist() == [0, 0, 0, 1, 1, 1, 0, 0, 0, 0, default.IGNORE_LABEL]
+        assert not enc.truncated
+        # qual: L2-normalized with trailing 0 for SEP
+        norm = np.sqrt((np.arange(10).astype(np.float64) ** 2).sum())
+        np.testing.assert_allclose(enc.quals[:10], np.arange(10) / norm, rtol=1e-5)
+        assert enc.quals[10] == 0.0
+
+    def test_truncation_target_fits(self):
+        # len >= max_length and target fits -> labels over max_length-1
+        enc = encode_read("r", "A" * 100, np.zeros(100), [(10, 20)], max_length=50)
+        assert enc.truncated
+        assert len(enc.input_ids) == 50
+        assert enc.input_ids[-1] == default.TOKEN_SEP
+        assert enc.labels[:49].sum() == 10
+        assert enc.labels[49] == default.IGNORE_LABEL
+
+    def test_truncation_target_outside(self):
+        # target[1] + 2 > max_length -> all-zero labels
+        enc = encode_read("r", "A" * 100, np.zeros(100), [(60, 90)], max_length=50)
+        assert enc.truncated
+        assert enc.labels[:49].sum() == 0
+
+    def test_no_targets(self):
+        enc = encode_read("r", "ACGT", np.zeros(4), None, max_length=100)
+        assert enc.labels.tolist() == [0, 0, 0, 0, default.IGNORE_LABEL]
+
+
+class TestBucketing:
+    def test_default_buckets(self):
+        b = default_buckets(32768)
+        assert b[0] == 256 and b[-1] == 32768
+        assert all(x % 128 == 0 for x in b)
+
+    def test_pick(self):
+        b = [256, 512, 1024]
+        assert pick_bucket(10, b) == 256
+        assert pick_bucket(257, b) == 512
+        assert pick_bucket(9999, b) == 1024
+
+    def test_batches_fixed_shapes(self):
+        reads = [
+            encode_read(f"r{i}", "A" * n, np.zeros(n), None, 32768)
+            for i, n in enumerate([100, 120, 300, 700, 100, 100])
+        ]
+        batches = list(bucketed_batches(reads, buckets=[256, 1024], tokens_per_batch=512))
+        widths = sorted({b.input_ids.shape[1] for b in batches})
+        assert widths == [256, 1024]
+        total = sum(b.input_ids.shape[0] for b in batches)
+        assert total == 6
+        for b in batches:
+            assert b.input_ids.dtype == np.int32
+            assert (b.input_ids[b.labels == default.IGNORE_LABEL] != 0).all()
+
+
+class TestParseFastq:
+    def test_reference_fixture(self, reference_data):
+        recs = list(parse_fastq_file(reference_data / "one_record.fq"))
+        assert len(recs) == 1
+        assert recs[0]["target"] == [(462, 528)]
+        assert set(recs[0]["seq"]) <= set("ACGTN")
+
+    def test_iter_batches(self, reference_data):
+        batches = list(
+            iter_batches(reference_data / "twenty_five_records.fq", tokens_per_batch=1 << 14)
+        )
+        assert sum(b.input_ids.shape[0] for b in batches) == 25
+        for b in batches:
+            assert b.input_ids.shape[1] % 128 == 0
+
+
+class TestEngine:
+    @pytest.fixture(scope="class")
+    def engine(self):
+        from deepchopper_tpu.infer import PredictEngine
+        from deepchopper_tpu.models import HeadConfig, HyenaConfig, HyenaTokenClassifier, init_params
+        from deepchopper_tpu.models.registry import ModelBundle
+
+        cfg = HyenaConfig(d_model=32, n_layer=1, d_inner=64, max_seq_len=2048)
+        head = HeadConfig(input_size=32, lin1_size=48, lin2_size=48, num_class=2)
+        module = HyenaTokenClassifier(backbone_config=cfg, head_config=head)
+        params = init_params(module, seq_len=64)
+        bundle = ModelBundle(module=module, params=params, name="tiny", config=cfg)
+        from deepchopper_tpu.infer.engine import PredictEngine
+
+        return PredictEngine(bundle, max_length=1024, tokens_per_batch=4096, buckets=[256, 1024])
+
+    def test_predict_file_writes_contract_shards(self, engine, reference_data, tmp_path):
+        stats = engine.predict_file(reference_data / "twenty_five_records.fq", tmp_path / "preds")
+        assert stats.reads == 25
+        files = sorted((tmp_path / "preds" / "0").glob("*.npz"))
+        assert files
+        with np.load(files[0]) as d:
+            assert set(d.files) == {"prediction", "target", "seq", "qual", "id"}
+            assert d["prediction"].ndim == 3 and d["prediction"].shape[2] == 2
+
+        # shards round-trip through the chop loader
+        from deepchopper_tpu.io.predicts import load_predicts_from_batch_pts
+
+        predicts = load_predicts_from_batch_pts(tmp_path / "preds")
+        assert len(predicts) == 25
+        for p in predicts.values():
+            assert len(p.prediction) == len(p.seq)
+
+    def test_fused_path_matches_shard_path(self, reference_data, tmp_path):
+        from deepchopper_tpu.infer.engine import PredictEngine
+        from deepchopper_tpu.io.predicts import load_predicts_from_batch_pts
+        from deepchopper_tpu.models import HeadConfig, HyenaConfig, HyenaTokenClassifier, init_params
+        from deepchopper_tpu.models.registry import ModelBundle
+
+        cfg = HyenaConfig(d_model=32, n_layer=1, d_inner=64, max_seq_len=2048, compute_dtype="float32")
+        head = HeadConfig(input_size=32, lin1_size=48, lin2_size=48, num_class=2)
+        module = HyenaTokenClassifier(backbone_config=cfg, head_config=head)
+        params = init_params(module, seq_len=64)
+        bundle = ModelBundle(module=module, params=params, name="tiny", config=cfg)
+
+        eng_logits = PredictEngine(bundle, max_length=1024, tokens_per_batch=4096, buckets=[1024])
+        eng_logits.predict_file(reference_data / "twenty_five_records.fq", tmp_path / "p")
+        via_shards = load_predicts_from_batch_pts(tmp_path / "p")
+
+        eng_fused = PredictEngine(
+            bundle, max_length=1024, tokens_per_batch=4096, buckets=[1024], return_labels=True
+        )
+        fused = eng_fused.predict_to_predicts(reference_data / "twenty_five_records.fq")
+        assert via_shards.keys() == fused.keys()
+        for k in fused:
+            assert via_shards[k].seq == fused[k].seq
+            np.testing.assert_array_equal(via_shards[k].prediction, fused[k].prediction)
+
+
+class TestBam:
+    def test_read_reference_bam(self, reference_data):
+        from deepchopper_tpu.io.bam import left_right_soft_clip, read_bam_records
+
+        recs = read_bam_records(reference_data / "4reads.bam")
+        assert len(recs) >= 1
+        for rec in recs.values():
+            assert rec.cigar
+            assert rec.mapping_quality >= 0
+        assert left_right_soft_clip("10S80M5S") == (10, 5)
+        assert left_right_soft_clip("3H10S80M5S2H") == (10, 5)
+        assert left_right_soft_clip("80M") == (0, 0)
+
+
+class TestParquet:
+    def test_encode_matches_reference_shape(self, reference_data, tmp_path):
+        import pyarrow.parquet as pq
+
+        from deepchopper_tpu.io.parquet import encode_fq_path_to_parquet
+
+        out = encode_fq_path_to_parquet(
+            reference_data / "twenty_five_records.fq", tmp_path / "out.parquet"
+        )
+        table = pq.read_table(out)
+        # Oracle: reference python test asserts (25, 4)
+        # (reference: tests/test_rust.py:6-33). The shipped parquet fixture was
+        # generated from a different FASTQ revision, so only schema/shape and
+        # internal consistency are checkable.
+        assert table.num_rows == 25 and table.num_columns == 4
+        ref = pq.read_table(reference_data / "twenty_five_records.parquet")
+        assert table.column_names == ref.column_names
+        ids = table.column("id").to_pylist()
+        targets = table.column("target").to_pylist()
+        seqs = table.column("seq").to_pylist()
+        quals = table.column("qual").to_pylist()
+        from deepchopper_tpu.ops.labels import parse_target_from_id
+
+        for rid, tgt, seq, q in zip(ids, targets, seqs, quals):
+            assert [tuple(p) for p in zip(tgt[::2], tgt[1::2])] == parse_target_from_id(rid)
+            assert len(seq) == len(q)
+
+
+class TestCli:
+    def test_version_and_help(self, capsys):
+        from deepchopper_tpu.cli import build_parser
+
+        parser = build_parser()
+        with pytest.raises(SystemExit):
+            parser.parse_args(["--version"])
+
+    def test_chop_cli_end_to_end(self, tmp_path, monkeypatch, reference_data):
+        from deepchopper_tpu.cli import main
+        from deepchopper_tpu.io.chop import FastqRecord
+        from deepchopper_tpu.io.fastq import write_fq
+        from deepchopper_tpu.io.predicts import load_predicts_from_batch_pts
+
+        preds = load_predicts_from_batch_pts(reference_data / "eval/chunk0")
+        fq = tmp_path / "in.fq"
+        write_fq(
+            [FastqRecord(rid, p.seq.encode(), b"I" * len(p.seq)) for rid, p in preds.items()], fq
+        )
+        monkeypatch.chdir(tmp_path)
+        rc = main(["chop", str(reference_data / "eval/chunk0"), str(fq)])
+        assert rc == 0
+        outs = list(tmp_path.glob("*.chop.fq.gz"))
+        assert len(outs) == 1
+
+
+class TestUiCore:
+    def test_parse_fq_record(self):
+        from deepchopper_tpu.ui.main import parse_fq_record
+
+        rid, seq, qual = parse_fq_record("@x y\nACGT\n+\nIIII\n")
+        assert rid == "x y" and seq == "ACGT" and qual == "IIII"
+        with pytest.raises(ValueError):
+            parse_fq_record("not a record")
