@@ -63,6 +63,16 @@ def _add_misc(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("stat", help="Read-length summary for FASTQ/FASTA/BAM")
     p.add_argument("path", type=Path)
 
+    p = sub.add_parser("train", help="Train a model (hydra-style config + overrides)")
+    p.add_argument("--config", "-c", type=Path, default=None, help="YAML config file")
+    p.add_argument("overrides", nargs="*", help="key.subkey=value overrides")
+    p.add_argument("--verbose", "-v", action="store_true")
+
+    p = sub.add_parser("eval", help="Evaluate a checkpoint (test or predict)")
+    p.add_argument("--config", "-c", type=Path, default=None, help="YAML config file")
+    p.add_argument("overrides", nargs="*", help="key.subkey=value overrides")
+    p.add_argument("--verbose", "-v", action="store_true")
+
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
@@ -179,6 +189,26 @@ def cmd_stat(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train(args: argparse.Namespace) -> int:
+    from .train.config import load_config
+    from .train.loop import train
+
+    cfg = load_config(args.config, args.overrides)
+    metrics = train(cfg)
+    print(f"train done: {metrics}")
+    return 0
+
+
+def cmd_eval(args: argparse.Namespace) -> int:
+    from .train.config import load_config
+    from .train.loop import evaluate
+
+    cfg = load_config(args.config, args.overrides)
+    metrics = evaluate(cfg)
+    print(f"eval done: {metrics}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -191,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
         "web": cmd_web,
         "encode": cmd_encode,
         "stat": cmd_stat,
+        "train": cmd_train,
+        "eval": cmd_eval,
     }
     return handlers[args.command](args)
 

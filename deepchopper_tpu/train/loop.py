@@ -1,0 +1,429 @@
+"""Training/eval orchestration: the reference's Lightning harness, TPU-native.
+
+Replaces `train(cfg)` / `evaluate(cfg)` (reference: deepchopper/train.py:29-109,
+deepchopper/eval.py:23-87) plus the callback stack
+(reference: configs/callbacks/default.yaml — ModelCheckpoint top-1 on val/f1
+max + save_last, EarlyStopping patience 40) and the ReduceLROnPlateau
+scheduler (reference: configs/model/hyena.yaml scheduler block — mode min on
+val/loss, factor 0.1, patience 10).
+
+Design: one jitted train step over a 1-axis data-parallel mesh. Params and
+optimizer state are replicated; the batch axis is sharded, so XLA lowers the
+gradient all-reduce onto ICI — the DDP equivalent. The learning rate lives
+inside the optimizer state via `optax.inject_hyperparams`, so the plateau
+scheduler just rewrites one scalar leaf between epochs with zero recompiles.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.parquet_module import DataModule
+from ..models.registry import DeepChopper, ModelBundle, save_checkpoint
+from ..parallel.mesh import batch_sharding, make_mesh, replicate, replicated_sharding
+from .config import TrainConfig
+from .metrics import BinaryStats, stats_from_array
+from .step import TrainState, init_train_state, make_eval_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+def make_plateau_optimizer(lr: float, weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Adam with the learning rate exposed as an opt-state leaf."""
+    if weight_decay:
+        return optax.inject_hyperparams(optax.adamw)(learning_rate=lr, weight_decay=weight_decay)
+    return optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+
+
+def _find_inject_index(opt_state: Any) -> int | None:
+    """Locate the InjectHyperparamsState inside a possibly-chained opt state."""
+    if hasattr(opt_state, "hyperparams"):
+        return -1  # opt_state itself
+    if isinstance(opt_state, tuple):
+        for i, s in enumerate(opt_state):
+            if hasattr(s, "hyperparams"):
+                return i
+    return None
+
+
+def _get_lr(state: TrainState) -> float:
+    idx = _find_inject_index(state.opt_state)
+    inner = state.opt_state if idx == -1 else state.opt_state[idx]
+    return float(inner.hyperparams["learning_rate"])
+
+
+def _set_lr(state: TrainState, lr: float) -> TrainState:
+    idx = _find_inject_index(state.opt_state)
+    inner = state.opt_state if idx == -1 else state.opt_state[idx]
+    hp = dict(inner.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new_inner = inner._replace(hyperparams=hp)
+    if idx == -1:
+        return state._replace(opt_state=new_inner)
+    outer = tuple(new_inner if i == idx else s for i, s in enumerate(state.opt_state))
+    return state._replace(opt_state=outer)
+
+
+@dataclasses.dataclass
+class PlateauScheduler:
+    """ReduceLROnPlateau (reference: torch.optim.lr_scheduler.ReduceLROnPlateau
+    wired at configs/model/hyena.yaml — mode=min, factor=0.1, patience=10)."""
+
+    factor: float = 0.1
+    patience: int = 10
+    min_lr: float = 0.0
+    best: float = float("inf")
+    bad_epochs: int = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        if metric < self.best:
+            self.best = metric
+            self.bad_epochs = 0
+            return lr
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+
+@dataclasses.dataclass
+class EarlyStopping:
+    """Reference: configs/callbacks/default.yaml early_stopping block."""
+
+    patience: int = 40
+    mode: str = "max"
+    min_delta: float = 0.0
+    best: float | None = None
+    bad_epochs: int = 0
+
+    def improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return value > self.best + self.min_delta
+        return value < self.best - self.min_delta
+
+    def step(self, value: float) -> bool:
+        """Record a metric; returns True when training should stop."""
+        if self.improved(value):
+            self.best = value
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+class CsvLogger:
+    """Per-epoch metrics CSV (reference capability: configs/logger/csv.yaml)."""
+
+    def __init__(self, path: Path):
+        self.path = path
+        self._fields: list[str] | None = None
+
+    def log(self, row: dict[str, Any]) -> None:
+        row = {k: (f"{v:.6g}" if isinstance(v, float) else v) for k, v in row.items()}
+        new = self._fields is None
+        if new:
+            self._fields = list(row)
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path, "a", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=self._fields, extrasaction="ignore")
+            if new:
+                w.writeheader()
+            w.writerow(row)
+
+
+def param_count(params: Any) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+class Trainer:
+    """Epoch loop + callbacks over the jitted data-parallel step."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.out_dir = Path(cfg.output_dir) / cfg.task_name
+        self.ckpt_dir = self.out_dir / "checkpoints"
+        self.logger = CsvLogger(self.out_dir / "metrics.csv")
+        self.mesh = make_mesh(cfg.trainer.n_devices)
+        self.history: list[dict[str, float]] = []
+        self.best_ckpt_path: Path | None = None
+
+    # -- setup -------------------------------------------------------------
+
+    def _build(self) -> tuple[ModelBundle, TrainState, Any, Any]:
+        cfg = self.cfg
+        if cfg.model.checkpoint:
+            bundle = DeepChopper.from_checkpoint(cfg.model.checkpoint, cfg.model.name)
+        elif cfg.model.torch_checkpoint:
+            bundle = DeepChopper.from_pretrained(
+                cfg.model.name, torch_checkpoint=cfg.model.torch_checkpoint
+            )
+        else:
+            bundle = DeepChopper.new(cfg.model.name, seed=cfg.seed or 0)
+
+        tx = make_plateau_optimizer(cfg.optimizer.lr, cfg.optimizer.weight_decay)
+        if cfg.trainer.gradient_clip:
+            tx = optax.chain(optax.clip_by_global_norm(cfg.trainer.gradient_clip), tx)
+        state = init_train_state(bundle.params, tx)
+        state = replicate(state, self.mesh)
+
+        step = make_train_step(bundle.module.apply, tx, cfg.model.lambda_penalty)
+        jit_train = jax.jit(
+            step,
+            in_shardings=(replicated_sharding(self.mesh), batch_sharding(self.mesh)),
+            out_shardings=(replicated_sharding(self.mesh), replicated_sharding(self.mesh)),
+        )
+        ev = make_eval_step(bundle.module.apply, cfg.model.lambda_penalty)
+
+        def eval_metrics_only(params, batch):
+            out = ev(params, batch)
+            return {"loss": out["loss"], "stats": out["stats"]}
+
+        jit_eval = jax.jit(
+            eval_metrics_only,
+            in_shardings=(replicated_sharding(self.mesh), batch_sharding(self.mesh)),
+            out_shardings=replicated_sharding(self.mesh),
+        )
+        return bundle, state, jit_train, jit_eval
+
+    def _device_batch(self, batch) -> dict[str, jnp.ndarray]:
+        n = self.mesh.devices.size
+        b = batch.input_ids.shape[0]
+        pad = (-b) % n
+        ids, quals, labels = batch.input_ids, batch.quals, batch.labels
+        if pad:
+            from .. import default
+
+            ids = np.concatenate([ids, np.full((pad, ids.shape[1]), default.TOKEN_PAD, ids.dtype)])
+            quals = np.concatenate([quals, np.zeros((pad, quals.shape[1]), quals.dtype)])
+            labels = np.concatenate(
+                [labels, np.full((pad, labels.shape[1]), default.IGNORE_LABEL, labels.dtype)]
+            )
+        sharding = batch_sharding(self.mesh)
+        return {
+            "input_ids": jax.device_put(ids, sharding),
+            "input_quals": jax.device_put(quals, sharding),
+            "labels": jax.device_put(labels, sharding),
+        }
+
+    # -- loops -------------------------------------------------------------
+
+    def _run_eval(self, jit_eval, params, batches, limit: int | None) -> dict[str, float]:
+        total = BinaryStats()
+        losses: list[float] = []
+        for i, batch in enumerate(batches):
+            if limit is not None and i >= limit:
+                break
+            out = jit_eval(params, self._device_batch(batch))
+            losses.append(float(out["loss"]))
+            total = total + stats_from_array(np.asarray(out["stats"]))
+        return {
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "f1": total.f1,
+            "precision": total.precision,
+            "recall": total.recall,
+            "acc": total.accuracy,
+        }
+
+    def fit(self, datamodule: DataModule | None = None) -> dict[str, float]:
+        cfg = self.cfg
+        dm = datamodule or DataModule(**dataclasses.asdict(cfg.data))
+        bundle, state, jit_train, jit_eval = self._build()
+        log.info("model %s: %d params", cfg.model.name, param_count(bundle.params))
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+
+        from .config import save_config
+
+        save_config(cfg, self.out_dir / "config.yaml")
+
+        plateau = PlateauScheduler(
+            cfg.optimizer.plateau_factor, cfg.optimizer.plateau_patience, cfg.optimizer.min_lr
+        )
+        stopper = EarlyStopping(
+            cfg.callbacks.early_stop_patience, cfg.callbacks.monitor_mode, cfg.callbacks.min_delta
+        )
+        best_metric: float | None = None
+        mode_max = cfg.callbacks.monitor_mode == "max"
+
+        start_epoch = 0
+        if cfg.ckpt_path:
+            state, start_epoch, best_metric = self._restore(cfg.ckpt_path, state)
+            log.info("resumed from %s at epoch %d", cfg.ckpt_path, start_epoch)
+            if best_metric is not None:
+                stopper.best = best_metric
+
+        for epoch in range(start_epoch, cfg.trainer.max_epochs):
+            t0 = time.monotonic()
+            train_stats = BinaryStats()
+            train_losses: list[float] = []
+            for i, batch in enumerate(dm.train_batches(epoch)):
+                if (
+                    cfg.trainer.limit_train_batches is not None
+                    and i >= cfg.trainer.limit_train_batches
+                ):
+                    break
+                state, aux = jit_train(state, self._device_batch(batch))
+                train_losses.append(float(aux["loss"]))
+                train_stats = train_stats + stats_from_array(np.asarray(aux["stats"]))
+                if i % cfg.trainer.log_every_n_steps == 0:
+                    log.info("epoch %d step %d loss=%.4f", epoch, i, train_losses[-1])
+
+            val = self._run_eval(
+                jit_eval, state.params, dm.val_batches(), cfg.trainer.limit_val_batches
+            )
+            lr = _get_lr(state)
+            new_lr = plateau.step(val["loss"], lr)
+            if new_lr != lr:
+                log.info("plateau: lr %.2e -> %.2e", lr, new_lr)
+                state = _set_lr(state, new_lr)
+
+            row = {
+                "epoch": epoch,
+                "train/loss": float(np.mean(train_losses)) if train_losses else float("nan"),
+                "train/f1": train_stats.f1,
+                "val/loss": val["loss"],
+                "val/f1": val["f1"],
+                "val/precision": val["precision"],
+                "val/recall": val["recall"],
+                "lr": new_lr,
+                "time_s": time.monotonic() - t0,
+            }
+            self.history.append(row)
+            self.logger.log(row)
+            log.info(
+                "epoch %d: train/loss=%.4f val/loss=%.4f val/f1=%.4f (%.1fs)",
+                epoch,
+                row["train/loss"],
+                val["loss"],
+                val["f1"],
+                row["time_s"],
+            )
+
+            monitored = val[cfg.callbacks.monitor.split("/")[-1]]
+            improved = best_metric is None or (
+                monitored > best_metric if mode_max else monitored < best_metric
+            )
+            if improved:
+                best_metric = monitored
+                self.best_ckpt_path = self.ckpt_dir / f"epoch_{epoch:03d}_f1_{val['f1']:.4f}.ckpt"
+                self._save(self.best_ckpt_path, state, epoch, best_metric)
+                log.info("new best %s=%.4f -> %s", cfg.callbacks.monitor, monitored, self.best_ckpt_path)
+            if cfg.callbacks.save_last:
+                self._save(self.ckpt_dir / "last.ckpt", state, epoch, best_metric)
+
+            if stopper.step(monitored):
+                log.info("early stopping at epoch %d (patience %d)", epoch, stopper.patience)
+                break
+
+        result = {
+            "best_"
+            + cfg.callbacks.monitor.replace("/", "_"): (
+                best_metric if best_metric is not None else float("nan")
+            )
+        }
+        (self.out_dir / "result.json").write_text(json.dumps(result))
+        return result
+
+    def test(self, datamodule: DataModule | None = None, ckpt_path: str | Path | None = None) -> dict[str, float]:
+        """Test on the best checkpoint (reference: train.py:77-84 test-on-best)."""
+        cfg = self.cfg
+        dm = datamodule or DataModule(**dataclasses.asdict(cfg.data))
+        ckpt = ckpt_path or self.best_ckpt_path
+        if ckpt is not None:
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, checkpoint=str(ckpt)))
+            self.cfg = cfg
+        bundle, state, _jit_train, jit_eval = self._build()
+        metrics = self._run_eval(jit_eval, state.params, dm.test_batches(), None)
+        row = {"epoch": -1, **{f"test/{k}": v for k, v in metrics.items()}}
+        (self.out_dir / "test_metrics.json").write_text(json.dumps(row))
+        log.info("test: %s", row)
+        return metrics
+
+    # -- checkpoint io -----------------------------------------------------
+
+    def _save(self, path: Path, state: TrainState, epoch: int, best: float | None) -> None:
+        from flax import serialization
+
+        save_checkpoint(
+            path,
+            jax.device_get(state.params),
+            {
+                "epoch": epoch,
+                "step": int(state.step),
+                "best_metric": best,
+                "model": self.cfg.model.name,
+                "lr": _get_lr(state),
+                # Full optimizer state rides along so resume keeps Adam moments.
+                "opt_state_msgpack": serialization.to_bytes(jax.device_get(state.opt_state)),
+            },
+        )
+
+    def _restore(self, path: str | Path, state: TrainState) -> tuple[TrainState, int, float | None]:
+        from flax import serialization
+
+        from ..models.registry import load_checkpoint
+
+        params, meta = load_checkpoint(path, jax.device_get(state.params))
+        state = state._replace(params=replicate(params, self.mesh))
+        if meta.get("opt_state_msgpack"):
+            opt_state = serialization.from_bytes(
+                jax.device_get(state.opt_state), meta["opt_state_msgpack"]
+            )
+            state = state._replace(opt_state=replicate(opt_state, self.mesh))
+        elif meta.get("lr") is not None:
+            state = _set_lr(state, float(meta["lr"]))
+        return state, int(meta.get("epoch", -1)) + 1, meta.get("best_metric")
+
+
+# ---------------------------------------------------------------------------
+# Task entry points (reference: deepchopper/train.py:94-109, eval.py:76-87)
+# ---------------------------------------------------------------------------
+
+
+def train(cfg: TrainConfig) -> dict[str, float]:
+    """Train, then test on the best checkpoint when cfg.test is set."""
+    if cfg.seed is not None:
+        np.random.seed(cfg.seed)
+    trainer = Trainer(cfg)
+    metrics: dict[str, float] = {}
+    if cfg.train:
+        metrics.update(trainer.fit())
+    if cfg.test:
+        metrics.update({f"test/{k}": v for k, v in trainer.test().items()})
+    return metrics
+
+
+def evaluate(cfg: TrainConfig) -> dict[str, float]:
+    """Evaluate a checkpoint on the test split, or predict when
+    predict_data_path is set (reference: deepchopper/eval.py:23-73)."""
+    trainer = Trainer(cfg)
+    if cfg.data.predict_data_path:
+        from ..infer import PredictEngine
+
+        bundle = (
+            DeepChopper.from_checkpoint(cfg.model.checkpoint, cfg.model.name)
+            if cfg.model.checkpoint
+            else DeepChopper.new(cfg.model.name)
+        )
+        engine = PredictEngine(
+            bundle,
+            max_length=cfg.data.max_length,
+            tokens_per_batch=cfg.data.tokens_per_batch,
+        )
+        stats = engine.predict_file(cfg.data.predict_data_path, trainer.out_dir / "predictions")
+        return {"predict/reads": float(stats.reads)}
+    return {f"test/{k}": v for k, v in trainer.test(ckpt_path=cfg.model.checkpoint).items()}

@@ -1,0 +1,225 @@
+"""Training harness: config tree, data module splits, trainer loop, callbacks.
+
+Covers the capabilities of the reference's Hydra+Lightning harness
+(reference: deepchopper/train.py:29-109, configs/callbacks/default.yaml,
+configs/model/hyena.yaml scheduler block) on a tiny model + synthetic data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepchopper_tpu.train.config import TrainConfig, apply_override, load_config, save_config
+from deepchopper_tpu.train.loop import EarlyStopping, PlateauScheduler, Trainer, train
+
+
+def synth_parquet(path, n=60, seed=0, with_adapter=True):
+    """Labeled dataset: reads with an embedded all-A adapter marked as target."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        L = int(rng.integers(80, 180))
+        seq = "".join(rng.choice(list("ACGT"), L))
+        s = int(rng.integers(10, L - 30))
+        e = s + 20
+        if with_adapter:
+            seq = seq[:s] + "A" * 20 + seq[e:]
+        rows.append(
+            {
+                "id": f"read{i}|{s}:{e}",
+                "seq": seq,
+                "qual": rng.integers(5, 40, L).astype(np.int32).tolist(),
+                "target": [s, e],
+            }
+        )
+    schema = pa.schema(
+        [
+            pa.field("id", pa.string()),
+            pa.field("seq", pa.string()),
+            pa.field("qual", pa.list_(pa.int32())),
+            pa.field("target", pa.list_(pa.int32())),
+        ]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    return synth_parquet(tmp_path_factory.mktemp("data") / "train.parquet")
+
+
+def tiny_cfg(dataset, out_dir, **over) -> TrainConfig:
+    cfg = load_config(
+        None,
+        [
+            f"data.train_data_path={dataset}",
+            "data.max_length=256",
+            "data.tokens_per_batch=4096",
+            "data.shuffle_buffer=16",
+            "model.name=hyenadna-tiny-1k-seqlen",
+            "trainer.max_epochs=2",
+            "optimizer.lr=0.001",
+            f"output_dir={out_dir}",
+            "test=false",
+        ]
+        + [f"{k}={v}" for k, v in over.items()],
+    )
+    return cfg
+
+
+# -- config system ----------------------------------------------------------
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = TrainConfig()
+    cfg.model.name = "cnn"
+    cfg.optimizer.lr = 3e-4
+    save_config(cfg, tmp_path / "c.yaml")
+    loaded = load_config(tmp_path / "c.yaml")
+    assert loaded.model.name == "cnn"
+    assert loaded.optimizer.lr == 3e-4
+    assert loaded.callbacks.early_stop_patience == 40
+
+
+def test_config_overrides():
+    cfg = load_config(None, ["trainer.max_epochs=7", "model.lambda_penalty=0.5", "seed=3", "train=false"])
+    assert cfg.trainer.max_epochs == 7
+    assert cfg.model.lambda_penalty == 0.5
+    assert cfg.seed == 3
+    assert cfg.train is False
+
+
+def test_config_unknown_key_raises():
+    cfg = TrainConfig()
+    with pytest.raises(KeyError):
+        apply_override(cfg, "model.nonexistent", "1")
+
+
+# -- callbacks --------------------------------------------------------------
+
+
+def test_plateau_scheduler_reduces_after_patience():
+    s = PlateauScheduler(factor=0.1, patience=2)
+    lr = 1.0
+    lr = s.step(1.0, lr)  # best
+    for _ in range(2):
+        lr = s.step(1.5, lr)
+    assert lr == 1.0  # within patience
+    lr = s.step(1.5, lr)  # patience exceeded
+    assert lr == pytest.approx(0.1)
+
+
+def test_early_stopping_max_mode():
+    es = EarlyStopping(patience=2, mode="max")
+    assert not es.step(0.5)
+    assert not es.step(0.4)
+    assert es.step(0.4)  # second bad epoch hits patience
+    assert es.best == 0.5
+
+
+# -- data module ------------------------------------------------------------
+
+
+def test_datamodule_ratio_split_partitions(dataset):
+    from deepchopper_tpu.data.parquet_module import DataModule
+
+    dm = DataModule(train_data_path=str(dataset), max_length=256, tokens_per_batch=4096)
+    n_train = sum(b.input_ids.shape[0] for b in dm.train_batches())
+    n_val = sum(b.input_ids.shape[0] for b in dm.val_batches())
+    n_test = sum(b.input_ids.shape[0] for b in dm.test_batches())
+    assert n_train + n_val + n_test == 60
+    assert n_train == 48 and n_val == 6  # 80/10/10 (reference: hg_data.py:7-39)
+
+
+def test_datamodule_shuffle_is_epoch_seeded(dataset):
+    from deepchopper_tpu.data.parquet_module import DataModule
+
+    dm = DataModule(
+        train_data_path=str(dataset), max_length=256, tokens_per_batch=4096, shuffle_buffer=16
+    )
+    ids0 = [rid for b in dm.train_batches(0) for rid in b.read_ids]
+    ids0_again = [rid for b in dm.train_batches(0) for rid in b.read_ids]
+    ids1 = [rid for b in dm.train_batches(1) for rid in b.read_ids]
+    assert ids0 == ids0_again  # deterministic per epoch
+    assert ids0 != ids1  # reshuffled across epochs
+    assert sorted(ids0) == sorted(ids1)
+
+
+def test_datamodule_explicit_files(dataset, tmp_path):
+    from deepchopper_tpu.data.parquet_module import DataModule
+
+    val = synth_parquet(tmp_path / "val.parquet", n=10, seed=1)
+    dm = DataModule(
+        train_data_path=str(dataset),
+        val_data_path=str(val),
+        test_data_path=str(val),
+        max_length=256,
+        tokens_per_batch=4096,
+    )
+    assert sum(b.input_ids.shape[0] for b in dm.train_batches()) == 60
+    assert sum(b.input_ids.shape[0] for b in dm.val_batches()) == 10
+
+
+# -- trainer ----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fit_run(dataset, tmp_path_factory):
+    out = tmp_path_factory.mktemp("out")
+    cfg = tiny_cfg(dataset, out)
+    trainer = Trainer(cfg)
+    metrics = trainer.fit()
+    return cfg, trainer, metrics, out
+
+
+def test_fit_learns_and_logs(fit_run):
+    cfg, trainer, metrics, out = fit_run
+    assert len(trainer.history) == 2
+    assert trainer.history[-1]["train/loss"] < trainer.history[0]["train/loss"] * 1.5
+    assert np.isfinite(metrics["best_val_f1"])
+    # CSV log written with one row per epoch
+    lines = (out / "train" / "metrics.csv").read_text().strip().splitlines()
+    assert len(lines) == 3
+    assert lines[0].startswith("epoch,")
+    assert (out / "train" / "config.yaml").exists()
+
+
+def test_fit_checkpoints(fit_run):
+    cfg, trainer, _metrics, out = fit_run
+    assert trainer.best_ckpt_path is not None and trainer.best_ckpt_path.exists()
+    assert (out / "train" / "checkpoints" / "last.ckpt").exists()
+
+
+def test_test_on_best_checkpoint(fit_run, dataset):
+    _cfg, trainer, _metrics, _out = fit_run
+    res = trainer.test()
+    assert set(res) >= {"loss", "f1", "precision", "recall"}
+    assert np.isfinite(res["loss"])
+
+
+def test_resume_from_checkpoint(dataset, tmp_path):
+    cfg = tiny_cfg(dataset, tmp_path, **{"trainer.max_epochs": 1})
+    t1 = Trainer(cfg)
+    t1.fit()
+    last = tmp_path / "train" / "checkpoints" / "last.ckpt"
+    assert last.exists()
+
+    cfg2 = tiny_cfg(dataset, tmp_path / "resumed", **{"trainer.max_epochs": 2})
+    cfg2.ckpt_path = str(last)
+    t2 = Trainer(cfg2)
+    t2.fit()
+    # Resumed at epoch 1, so only one extra epoch ran.
+    assert len(t2.history) == 1
+    assert t2.history[0]["epoch"] == 1
+
+
+def test_train_entrypoint_with_test(dataset, tmp_path):
+    cfg = tiny_cfg(dataset, tmp_path, **{"test": "true", "trainer.max_epochs": 1})
+    metrics = train(cfg)
+    assert "test/f1" in metrics
+    assert (tmp_path / "train" / "test_metrics.json").exists()
