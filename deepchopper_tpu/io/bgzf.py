@@ -55,8 +55,18 @@ class BgzfWriter(io.RawIOBase):
         super().__init__()
         self._sink = sink
         self._level = level
+        self._threads = max(1, threads)
         self._buf = bytearray()
-        self._pool = ThreadPoolExecutor(max_workers=max(1, threads)) if threads > 1 else None
+        from .. import native
+
+        self._native = native if native.available() else None
+        if self._native is not None:
+            # Native path: batch many blocks per call; C++ threads the deflate.
+            self._batch = MAX_BLOCK_SIZE * max(8, self._threads * 8)
+            self._pool = None
+        else:
+            self._batch = MAX_BLOCK_SIZE
+            self._pool = ThreadPoolExecutor(max_workers=self._threads) if threads > 1 else None
         self._pending: list = []
         self._max_pending = max(2, threads * 4)
 
@@ -65,13 +75,18 @@ class BgzfWriter(io.RawIOBase):
 
     def write(self, data) -> int:
         self._buf.extend(data)
-        while len(self._buf) >= MAX_BLOCK_SIZE:
-            chunk = bytes(self._buf[:MAX_BLOCK_SIZE])
-            del self._buf[:MAX_BLOCK_SIZE]
+        while len(self._buf) >= self._batch:
+            chunk = bytes(self._buf[: self._batch])
+            del self._buf[: self._batch]
             self._submit(chunk)
         return len(data)
 
     def _submit(self, chunk: bytes) -> None:
+        if self._native is not None:
+            self._sink.write(
+                self._native.bgzf_compress(chunk, self._level, self._threads, eof=False)
+            )
+            return
         if self._pool is None:
             self._sink.write(compress_block(chunk, self._level))
             return
@@ -113,3 +128,69 @@ def open_bgzf_writer(path, threads: int = 4, level: int = 6) -> io.BufferedWrite
     """Open a buffered BGZF writer at `path`."""
     raw = BgzfWriter(open(path, "wb"), threads=threads, level=level)
     return io.BufferedWriter(raw, buffer_size=MAX_BLOCK_SIZE)
+
+
+class ParallelBgzfReader(io.RawIOBase):
+    """Streaming BGZF reader that inflates complete blocks in parallel via the
+    native host library (reference capability: noodles MultithreadedReader,
+    src/output/bam.rs:180-258). Falls back to gzip at the call site when the
+    native library is unavailable."""
+
+    _READ_CHUNK = 4 << 20
+
+    def __init__(self, source, threads: int = 4):
+        super().__init__()
+        self._src = source
+        self._threads = threads
+        self._carry = b""  # partial compressed block
+        self._out = b""  # decompressed, not yet consumed
+        self._eof = False
+
+    def readable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    @staticmethod
+    def _complete_len(buf: bytes) -> int:
+        """Byte length of the longest prefix made of complete BGZF blocks."""
+        pos = 0
+        n = len(buf)
+        while pos + 18 <= n:
+            bsize = (buf[pos + 16] | (buf[pos + 17] << 8)) + 1
+            if pos + bsize > n:
+                break
+            pos += bsize
+        return pos
+
+    def _fill(self) -> None:
+        from .. import native
+
+        while not self._out and not self._eof:
+            chunk = self._src.read(self._READ_CHUNK)
+            if not chunk:
+                self._eof = True
+                if self._carry.strip(b"\x00"):
+                    raise ValueError("truncated BGZF stream")
+                return
+            buf = self._carry + chunk if self._carry else chunk
+            cut = self._complete_len(buf)
+            self._carry = buf[cut:]
+            if cut:
+                self._out = native.bgzf_decompress(buf[:cut], threads=self._threads)
+
+    def readinto(self, b) -> int:
+        if not self._out:
+            self._fill()
+        n = min(len(b), len(self._out))
+        b[:n] = self._out[:n]
+        self._out = self._out[n:]
+        return n
+
+    def close(self) -> None:
+        if not self.closed:
+            self._src.close()
+        super().close()
+
+
+def open_bgzf_reader(path, threads: int = 4) -> io.BufferedReader:
+    raw = ParallelBgzfReader(open(path, "rb"), threads=threads)
+    return io.BufferedReader(raw, buffer_size=1 << 20)

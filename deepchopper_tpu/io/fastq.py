@@ -49,8 +49,16 @@ def open_compressed_reader(path: str | Path) -> io.BufferedIOBase:
     """Open a binary reader that transparently decompresses
     (reference: src/output/writefq.rs:148-160)."""
     kind = detect_compression(path)
-    if kind in ("gzip", "bgzip"):
+    if kind == "bgzip":
+        from .. import native
+
+        if native.available():
+            from .bgzf import open_bgzf_reader
+
+            return open_bgzf_reader(path)
         return gzip.open(path, "rb")  # gzip handles concatenated bgzf members
+    if kind == "gzip":
+        return gzip.open(path, "rb")
     if kind == "bz2":
         return bz2.open(path, "rb")
     if kind == "xz":
@@ -70,12 +78,17 @@ def open_compressed_reader(path: str | Path) -> io.BufferedIOBase:
     return open(path, "rb")
 
 
+_NATIVE_CHUNK = 8 << 20
+
+
 class StreamingFastqReader:
     """Iterator over FASTQ records from any (possibly compressed) file.
 
     Equivalent to the reference's `StreamingFastqReader`
     (reference: src/output/writefq.rs:174-193). Yields `FastqRecord`s without
-    materializing the file.
+    materializing the file. When the native host library is available, record
+    boundaries come from the C++ buffer scanner (`native.fq_index`) over large
+    chunks instead of a per-line Python loop.
     """
 
     def __init__(self, path: str | Path):
@@ -83,6 +96,48 @@ class StreamingFastqReader:
         self._fh = open_compressed_reader(self.path)
 
     def __iter__(self) -> Iterator[FastqRecord]:
+        from .. import native
+
+        if native.available():
+            return self._iter_native()
+        return self._iter_python()
+
+    def _iter_native(self) -> Iterator[FastqRecord]:
+        import numpy as np
+
+        from .. import native
+
+        fh = self._fh
+        carry = b""
+        try:
+            while True:
+                chunk = fh.read(_NATIVE_CHUNK)
+                final = not chunk
+                buf = carry + chunk if carry else chunk
+                if not buf:
+                    break
+                spans, consumed = native.fq_index(
+                    np.frombuffer(buf, np.uint8), final=final
+                )
+                for row in spans:
+                    id_off, id_len, s_off, s_len, q_off, q_len, d_off, d_len = (
+                        int(v) for v in row
+                    )
+                    # Full header line (name + description, original separator).
+                    end = d_off + d_len if d_off >= 0 else id_off + id_len
+                    name = buf[id_off:end].decode("ascii")
+                    yield FastqRecord(
+                        name, buf[s_off : s_off + s_len], buf[q_off : q_off + q_len]
+                    )
+                carry = buf[consumed:]
+                if final:
+                    if carry.strip(b"\r\n"):
+                        raise ValueError(f"{self.path}: truncated FASTQ record at EOF")
+                    break
+        finally:
+            fh.close()
+
+    def _iter_python(self) -> Iterator[FastqRecord]:
         fh = self._fh
         try:
             while True:

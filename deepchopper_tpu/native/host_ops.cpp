@@ -1,0 +1,366 @@
+// Native host data plane for deepchopper_tpu.
+//
+// C++ equivalents of the reference's Rust core hot loops
+// (reference: src/output/writefq.rs, src/smooth/utils.rs:48-97,
+// src/fq_encode/triat.rs:102-151, src/bin/predict.rs:271-297):
+//   * FASTQ buffer indexing (memchr newline scan -> record offset table)
+//   * fused base-tokenize + phred-qual encode (single pass over the read)
+//   * batched sliding-window majority vote
+//   * BGZF block compression with an internal thread pool
+//
+// Exposed via a flat extern "C" API consumed through ctypes
+// (deepchopper_tpu/native/__init__.py). All functions are thread-safe and
+// hold no global state except the lazily-created compression pool.
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// FASTQ indexing
+// ---------------------------------------------------------------------------
+
+// Scan a FASTQ text buffer and emit per-record spans:
+//   out[8*i + 0..7] = id_off, id_len, seq_off, seq_len, qual_off, qual_len,
+//                     desc_off, desc_len  (desc == text after first space; -1/-0 when none)
+// Record i's id span EXCLUDES the leading '@'. Lines may end with \n or \r\n.
+// `consumed` receives the buffer offset after the last complete record, so a
+// streaming caller can carry the tail into the next chunk (a record truncated
+// by the buffer end is NOT an error — it is simply not consumed).
+// Returns the number of complete records indexed, or a negative error code:
+//   -1 malformed header (no '@'), -2 malformed '+' separator,
+//   -4 seq/qual length mismatch.
+// `final_chunk` == 0 means more data may follow: a record whose quality line
+// is not newline-terminated inside the buffer is treated as truncated (it may
+// continue in the next chunk) and left unconsumed.
+long long fq_index(const uint8_t* buf, long long n, long long max_records,
+                   long long* out, long long* consumed, int final_chunk) {
+  long long pos = 0, rec = 0;
+  *consumed = 0;
+  auto line_end = [&](long long start, long long* content_len) -> long long {
+    const uint8_t* nl =
+        static_cast<const uint8_t*>(memchr(buf + start, '\n', n - start));
+    long long end = nl ? (nl - buf) : n;
+    long long len = end - start;
+    if (len > 0 && buf[end - 1] == '\r') len--;
+    *content_len = len;
+    return nl ? end + 1 : n;  // position after the newline
+  };
+  while (pos < n && rec < max_records) {
+    // Skip blank lines between records.
+    while (pos < n && (buf[pos] == '\n' || buf[pos] == '\r')) pos++;
+    if (pos >= n) break;
+    if (buf[pos] != '@') return -1;
+    long long id_line = pos + 1, id_len;
+    pos = line_end(id_line, &id_len);
+    if (pos >= n) break;  // truncated: leave for the next chunk
+    // Split id vs description at the first space/tab.
+    long long name_len = id_len, desc_off = -1, desc_len = 0;
+    for (long long k = 0; k < id_len; ++k) {
+      if (buf[id_line + k] == ' ' || buf[id_line + k] == '\t') {
+        name_len = k;
+        desc_off = id_line + k + 1;
+        desc_len = id_len - k - 1;
+        break;
+      }
+    }
+    long long seq_off = pos, seq_len;
+    pos = line_end(seq_off, &seq_len);
+    if (pos >= n) break;
+    if (buf[pos] != '+') return -2;
+    long long plus_len;
+    pos = line_end(pos, &plus_len);
+    if (pos >= n) break;
+    long long qual_off = pos, qual_len;
+    pos = line_end(qual_off, &qual_len);
+    // Unterminated qual line: may continue in the next chunk unless final.
+    if (pos >= n && buf[n - 1] != '\n' && !final_chunk) break;
+    if (qual_len < seq_len && pos >= n && !final_chunk) break;
+    if (qual_len != seq_len) return -4;
+    out[8 * rec + 0] = id_line;
+    out[8 * rec + 1] = name_len;
+    out[8 * rec + 2] = seq_off;
+    out[8 * rec + 3] = seq_len;
+    out[8 * rec + 4] = qual_off;
+    out[8 * rec + 5] = qual_len;
+    out[8 * rec + 6] = desc_off;
+    out[8 * rec + 7] = desc_len;
+    rec++;
+    *consumed = pos;
+  }
+  return rec;
+}
+
+// ---------------------------------------------------------------------------
+// Fused tokenize + qual encode
+// ---------------------------------------------------------------------------
+
+// Base -> token id LUT (reference vocabulary: specials 0-6, A=7 C=8 G=9 T=10
+// N=11, unknown -> UNK=6; U tokenizes as T — matches ops.sequence._TOKEN_LUT
+// exactly (reference: src/smooth/utils.rs:6-46, tokenizer char vocab).
+static int32_t base_token(uint8_t c) {
+  switch (c & 0xDF) {  // uppercase fold for ASCII letters
+    case 'A': return 7;
+    case 'C': return 8;
+    case 'G': return 9;
+    case 'T': return 10;
+    case 'U': return 10;
+    case 'N': return 11;
+    default: return 6;
+  }
+}
+
+// seq/qual -> token ids + integer phred scores in one pass
+// (reference: src/fq_encode/triat.rs:102-151). qual_out may be null.
+void encode_read(const uint8_t* seq, const uint8_t* qual, long long n,
+                 int32_t* ids_out, int32_t* qual_out, int qual_offset) {
+  for (long long i = 0; i < n; ++i) ids_out[i] = base_token(seq[i]);
+  if (qual_out) {
+    for (long long i = 0; i < n; ++i)
+      qual_out[i] = static_cast<int32_t>(qual[i]) - qual_offset;
+  }
+}
+
+// Normalize bases in place: anything not ACGT (case-folded) becomes 'N',
+// lowercase becomes uppercase (reference: `normalize_seq`).
+void normalize_seq_inplace(uint8_t* seq, long long n) {
+  for (long long i = 0; i < n; ++i) {
+    uint8_t u = seq[i] & 0xDF;
+    seq[i] = (u == 'A' || u == 'C' || u == 'G' || u == 'T') ? u : 'N';
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Batched majority vote
+// ---------------------------------------------------------------------------
+
+// Sliding-window majority vote over each row's `lengths[r]` prefix of a
+// padded (b, maxlen) int8 label matrix. Exact reference semantics
+// (reference: src/smooth/utils.rs:48-97): window forced odd, tail windows
+// shift left to stay full-size, two-way ties keep the original label.
+void majority_vote_batch(const int8_t* labels, int8_t* out,
+                         const int64_t* lengths, long long b, long long maxlen,
+                         long long window, int threads) {
+  if (window % 2 == 0) window += 1;
+  const long long half = window / 2;
+  auto run_rows = [&](long long r0, long long r1) {
+    std::vector<int64_t> csum;
+    for (long long r = r0; r < r1; ++r) {
+      const int8_t* row = labels + r * maxlen;
+      int8_t* orow = out + r * maxlen;
+      const long long len = std::min<long long>(lengths[r], maxlen);
+      memcpy(orow, row, maxlen);  // padding passes through
+      if (len <= 0) continue;
+      csum.resize(len + 1);
+      csum[0] = 0;
+      for (long long i = 0; i < len; ++i)
+        csum[i + 1] = csum[i] + (row[i] == 1 ? 1 : 0);
+      for (long long i = 0; i < len; ++i) {
+        long long s = std::max<long long>(i - half, 0);
+        long long e = std::min<long long>(i + half + 1, len);
+        if (e == len && e - s < window) s = std::max<long long>(e - window, 0);
+        const long long ones = csum[e] - csum[s];
+        const long long size = e - s;
+        const long long twice = 2 * ones;
+        orow[i] = twice > size ? 1 : (twice < size ? 0 : row[i]);
+      }
+    }
+  };
+  if (threads <= 1 || b < 4) {
+    run_rows(0, b);
+    return;
+  }
+  const int nt = std::min<long long>(threads, b);
+  std::vector<std::thread> pool;
+  const long long per = (b + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    long long r0 = t * per, r1 = std::min<long long>(r0 + per, b);
+    if (r0 >= r1) break;
+    pool.emplace_back(run_rows, r0, r1);
+  }
+  for (auto& th : pool) th.join();
+}
+
+// 1-runs -> [start, end) regions with the reference's index-0 sentinel
+// (a run touching index 0 opens at index 1; reference: src/utils.rs:671-695).
+// Writes up to max_regions (start, end) pairs; returns the count.
+long long label_regions(const int8_t* labels, long long n, long long* out,
+                        long long max_regions) {
+  long long cnt = 0;
+  long long start = 0;
+  for (long long i = 0; i < n && cnt < max_regions; ++i) {
+    if (labels[i] == 1) {
+      if (start == 0) start = i == 0 ? 0 : i;
+      // start stays 0 while i==0; re-assigned at i==1 per the sentinel quirk.
+      if (start == 0) continue;
+    } else if (start != 0) {
+      out[2 * cnt] = start;
+      out[2 * cnt + 1] = i;
+      cnt++;
+      start = 0;
+    }
+  }
+  if (start != 0 && cnt < max_regions) {
+    out[2 * cnt] = start;
+    out[2 * cnt + 1] = n;
+    cnt++;
+  }
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block compression (thread-pooled)
+// ---------------------------------------------------------------------------
+
+static const long long BGZF_MAX_PAYLOAD = 65280;
+// Worst-case compressed block: payload + deflate overhead + 26-byte wrapper.
+static const long long BGZF_MAX_BLOCK = 65536;
+
+// Compress one payload (<= 65280 bytes) into a standalone BGZF block at `out`
+// (capacity must be >= BGZF_MAX_BLOCK). Returns the block's byte length or a
+// negative zlib error.
+long long bgzf_block(const uint8_t* data, long long n, uint8_t* out,
+                     int level) {
+  z_stream zs{};
+  if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  zs.next_in = const_cast<uint8_t*>(data);
+  zs.avail_in = static_cast<uInt>(n);
+  zs.next_out = out + 18;
+  zs.avail_out = static_cast<uInt>(BGZF_MAX_BLOCK - 26);
+  int rc = deflate(&zs, Z_FINISH);
+  long long clen = static_cast<long long>(zs.total_out);
+  deflateEnd(&zs);
+  if (rc != Z_STREAM_END) return -2;
+  const long long bsize = clen + 26 - 1;
+  // 18-byte gzip header with the BC extra field.
+  const uint8_t hdr[18] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+                           6,    0,    0x42, 0x43, 2, 0,
+                           static_cast<uint8_t>(bsize & 0xff),
+                           static_cast<uint8_t>((bsize >> 8) & 0xff)};
+  memcpy(out, hdr, 18);
+  uint32_t crc = crc32(0, data, static_cast<uInt>(n));
+  uint8_t* foot = out + 18 + clen;
+  foot[0] = crc & 0xff; foot[1] = (crc >> 8) & 0xff;
+  foot[2] = (crc >> 16) & 0xff; foot[3] = (crc >> 24) & 0xff;
+  uint32_t isize = static_cast<uint32_t>(n);
+  foot[4] = isize & 0xff; foot[5] = (isize >> 8) & 0xff;
+  foot[6] = (isize >> 16) & 0xff; foot[7] = (isize >> 24) & 0xff;
+  return 26 + clen;
+}
+
+// Compress a whole buffer into consecutive BGZF blocks using `threads`
+// workers (blocks are independent deflate streams — the property the
+// reference's noodles multithreaded writer exploits). `out` capacity must be
+// >= ceil(n / 65280) * BGZF_MAX_BLOCK + 28. Appends the EOF marker when
+// `final_eof` != 0. Returns total bytes written or negative on error.
+long long bgzf_compress_buffer(const uint8_t* data, long long n, uint8_t* out,
+                               int level, int threads, int final_eof) {
+  const long long nblocks = n == 0 ? 0 : (n + BGZF_MAX_PAYLOAD - 1) / BGZF_MAX_PAYLOAD;
+  std::vector<long long> sizes(static_cast<size_t>(nblocks), 0);
+  std::vector<std::vector<uint8_t>> blocks(static_cast<size_t>(nblocks));
+  std::atomic<long long> next{0};
+  std::atomic<bool> failed{false};
+  auto worker = [&]() {
+    for (;;) {
+      long long i = next.fetch_add(1);
+      if (i >= nblocks || failed.load()) return;
+      const long long off = i * BGZF_MAX_PAYLOAD;
+      const long long len = std::min(BGZF_MAX_PAYLOAD, n - off);
+      blocks[i].resize(BGZF_MAX_BLOCK);
+      long long sz = bgzf_block(data + off, len, blocks[i].data(), level);
+      if (sz < 0) { failed.store(true); return; }
+      sizes[i] = sz;
+    }
+  };
+  const int nt = std::max<long long>(1, std::min<long long>(threads, nblocks ? nblocks : 1));
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  if (failed.load()) return -1;
+  long long total = 0;
+  for (long long i = 0; i < nblocks; ++i) {
+    memcpy(out + total, blocks[i].data(), sizes[i]);
+    total += sizes[i];
+  }
+  if (final_eof) {
+    static const uint8_t kEof[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00, 0xff,
+        0x06, 0x00, 0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+        0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00};
+    memcpy(out + total, kEof, 28);
+    total += 28;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF parallel decompression
+// ---------------------------------------------------------------------------
+
+// Decompress a buffer of concatenated BGZF blocks. Block boundaries come from
+// the BC extra field, so workers can inflate independent blocks in parallel
+// (reference capability: noodles MultithreadedReader, src/output/bam.rs:199).
+// Returns bytes written to `out` (capacity `out_cap`) or negative on error:
+// -1 malformed, -2 inflate failure, -3 out buffer too small.
+long long bgzf_decompress_buffer(const uint8_t* data, long long n,
+                                 uint8_t* out, long long out_cap,
+                                 int threads) {
+  struct Block { long long in_off, in_len, out_off, out_len; };
+  std::vector<Block> blocks;
+  long long pos = 0, out_total = 0;
+  while (pos + 18 <= n) {
+    if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return -1;
+    const long long bsize =
+        (static_cast<long long>(data[pos + 16]) |
+         (static_cast<long long>(data[pos + 17]) << 8)) + 1;
+    if (pos + bsize > n) return -1;
+    const uint8_t* foot = data + pos + bsize - 4;
+    const long long isize = static_cast<long long>(foot[0]) |
+                            (static_cast<long long>(foot[1]) << 8) |
+                            (static_cast<long long>(foot[2]) << 16) |
+                            (static_cast<long long>(foot[3]) << 24);
+    blocks.push_back({pos, bsize, out_total, isize});
+    out_total += isize;
+    pos += bsize;
+  }
+  if (out_total > out_cap) return -3;
+  std::atomic<long long> next{0};
+  std::atomic<bool> failed{false};
+  auto worker = [&]() {
+    for (;;) {
+      long long i = next.fetch_add(1);
+      if (i >= static_cast<long long>(blocks.size()) || failed.load()) return;
+      const Block& blk = blocks[i];
+      if (blk.out_len == 0) continue;
+      z_stream zs{};
+      if (inflateInit2(&zs, -15) != Z_OK) { failed.store(true); return; }
+      zs.next_in = const_cast<uint8_t*>(data + blk.in_off + 18);
+      zs.avail_in = static_cast<uInt>(blk.in_len - 26);
+      zs.next_out = out + blk.out_off;
+      zs.avail_out = static_cast<uInt>(blk.out_len);
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) failed.store(true);
+    }
+  };
+  const int nt = std::max<long long>(1, std::min<long long>(threads, blocks.size() ? blocks.size() : 1));
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  if (failed.load()) return -2;
+  return out_total;
+}
+
+}  // extern "C"

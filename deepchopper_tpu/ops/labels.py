@@ -168,9 +168,15 @@ def majority_voting_batch(labels: np.ndarray, lengths: np.ndarray, window_size: 
     """Batched majority vote over a padded (B, L) label matrix.
 
     Each row i is smoothed over its own `lengths[i]` prefix; padding positions
-    are passed through untouched. Fully vectorized (one cumsum over the batch).
+    are passed through untouched. Dispatches to the C++ host library when
+    available (deepchopper_tpu/native/host_ops.cpp `majority_vote_batch`);
+    otherwise fully vectorized NumPy (one cumsum over the batch).
     """
     labels = np.asarray(labels)
+    from .. import native
+
+    if native.available() and labels.dtype == np.int8:
+        return native.majority_vote_batch(labels, lengths, window_size)
     b, maxlen = labels.shape
     lengths = np.asarray(lengths, dtype=np.int64).reshape(b, 1)
     w = int(window_size)
