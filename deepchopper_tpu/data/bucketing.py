@@ -39,6 +39,7 @@ class EncodedRead:
     truncated: bool
     raw_len: int
     seq: str | None = None  # normalized sequence (fused chop path)
+    quals_raw: np.ndarray | None = None  # (T+1,) uint8 phred ints, 0 at SEP
 
 
 @dataclasses.dataclass
@@ -52,6 +53,7 @@ class Batch:
     lengths: np.ndarray  # (B,) int32 — valid token count incl. SEP
     read_ids: list[str]
     seqs: list[str | None] | None = None  # normalized sequences (fused path)
+    quals_raw: np.ndarray | None = None  # (B, W) uint8 phred ints (device-norm path)
 
 
 def default_buckets(max_length: int = 32768, min_width: int = 256) -> list[int]:
@@ -92,11 +94,11 @@ def encode_read(
     else:
         labels[:t_len] = 0
 
-    quals = np.zeros(t_len + 1, dtype=np.float32)
-    quals[:t_len] = qual_scores[:t_len]
-    quals = normalize_quals(quals)
+    raw = np.zeros(t_len + 1, dtype=np.uint8)
+    np.clip(qual_scores[:t_len], 0, 255, out=raw[:t_len], casting="unsafe")
+    quals = normalize_quals(raw.astype(np.float32))
 
-    return EncodedRead(rid, ids, labels, quals, truncated, n, seq)
+    return EncodedRead(rid, ids, labels, quals, truncated, n, seq, raw)
 
 
 def pick_bucket(length: int, buckets: list[int]) -> int:
@@ -115,12 +117,15 @@ def pad_batch(reads: list[EncodedRead], width: int) -> Batch:
     input_ids = np.full((b, width), default.TOKEN_PAD, dtype=np.int32)
     labels = np.full((b, width), default.IGNORE_LABEL, dtype=np.int32)
     quals = np.zeros((b, width), dtype=np.float32)
+    quals_raw = np.zeros((b, width), dtype=np.uint8)
     lengths = np.zeros(b, dtype=np.int32)
     for i, r in enumerate(reads):
         n = len(r.input_ids)
         input_ids[i, :n] = r.input_ids
         labels[i, :n] = r.labels
         quals[i, :n] = r.quals
+        if r.quals_raw is not None:
+            quals_raw[i, :n] = r.quals_raw
         lengths[i] = n
     ids = pack_read_ids([r.id for r in reads], [r.truncated for r in reads])
     return Batch(
@@ -131,6 +136,7 @@ def pad_batch(reads: list[EncodedRead], width: int) -> Batch:
         lengths,
         [r.id for r in reads],
         [r.seq for r in reads],
+        quals_raw,
     )
 
 

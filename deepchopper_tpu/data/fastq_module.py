@@ -69,10 +69,12 @@ def iter_batches(
     buckets: list[int] | None = None,
     has_targets: bool = True,
     max_samples: int | None = None,
+    max_batch: int = 512,
 ) -> Iterator[Batch]:
     """FASTQ -> fixed-shape batches, streaming."""
     yield from bucketed_batches(
         iter_encoded_reads(file_path, max_length, has_targets, max_samples),
         buckets=buckets,
         tokens_per_batch=tokens_per_batch,
+        max_batch=max_batch,
     )

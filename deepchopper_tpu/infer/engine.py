@@ -76,13 +76,42 @@ class PredictEngine:
         self.stats = PredictStats()
 
         module = bundle.module
+        # Covers the degenerate case tokens_per_batch < max bucket width
+        # (single-read batch at the widest bucket).
+        flat_tokens = max(self.tokens_per_batch, max(self.buckets))
+        self._flat_tokens = flat_tokens
 
-        def _logits_step(params, input_ids, input_quals):
-            return module.apply({"params": params}, input_ids, input_quals)
+        # Both steps return ONE canonical flat shape regardless of the bucket:
+        # the runtime pays a large one-time setup cost on the first
+        # device-to-host transfer of each distinct (shape, dtype) — returning
+        # (B, W)-shaped outputs would pay it once per bucket (~45s each on a
+        # tunneled chip). A fixed flat buffer pays it exactly once, absorbed
+        # by warmup(); the host slices the valid B*W prefix back out.
 
-        def _labels_step(params, input_ids, input_quals):
-            logits = module.apply({"params": params}, input_ids, input_quals)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int8)
+        # Inputs arrive compact (int8 tokens + uint8 raw phred — 4x less
+        # host-to-device traffic than int32+float32); the per-read L2 qual
+        # normalization happens on device. Zero padding contributes nothing to
+        # the L2 norm, so this matches the host-side normalize_quals exactly
+        # (reference contract: deepchopper/models/llm/tokenizer.py:131).
+
+        def _apply(params, ids_i8, quals_u8):
+            ids = ids_i8.astype(jnp.int32)
+            q = quals_u8.astype(jnp.float32)
+            norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+            q = q / jnp.maximum(norm, 1e-12)
+            return module.apply({"params": params}, ids, q)
+
+        def _logits_step(params, ids_i8, quals_u8):
+            logits = _apply(params, ids_i8, quals_u8)
+            flat = logits.astype(jnp.float32).reshape(-1)
+            out = jnp.zeros((flat_tokens * 2,), jnp.float32)
+            return jax.lax.dynamic_update_slice(out, flat, (0,))
+
+        def _labels_step(params, ids_i8, quals_u8):
+            logits = _apply(params, ids_i8, quals_u8)
+            labels = jnp.argmax(logits, axis=-1).astype(jnp.int8)
+            out = jnp.zeros((flat_tokens,), jnp.int8)
+            return jax.lax.dynamic_update_slice(out, labels.reshape(-1), (0,))
 
         self._step_fn = _labels_step if return_labels else _logits_step
         self._params = jax.device_put(bundle.params)
@@ -95,8 +124,8 @@ class PredictEngine:
             t0 = time.monotonic()
             fn = jax.jit(self._step_fn)
             # Trigger compile eagerly so compile time is attributable.
-            ids = jnp.zeros(shape, jnp.int32)
-            quals = jnp.zeros(shape, jnp.float32)
+            ids = jnp.zeros(shape, jnp.int8)
+            quals = jnp.zeros(shape, jnp.uint8)
             fn(self._params, ids, quals)
             dt = time.monotonic() - t0
             self.stats.compile_s += dt
@@ -111,48 +140,80 @@ class PredictEngine:
         """Precompile every bucket shape; returns total compile seconds.
 
         Partial batches are padded up to each bucket's target batch size, so
-        after warmup the whole run executes with zero recompilation.
+        after warmup the whole run executes with zero recompilation. Also
+        performs one device-to-host fetch to absorb the runtime's one-time
+        transfer-path setup cost (large on tunneled chips).
         """
         t0 = time.monotonic()
+        out = None
         for w in buckets or self.buckets:
-            self._get_step((self._bucket_batch_size(w), w))
+            shape = (self._bucket_batch_size(w), w)
+            step = self._get_step(shape)
+            if out is None:
+                out = step(
+                    self._params,
+                    jnp.zeros(shape, jnp.int8),
+                    jnp.zeros(shape, jnp.uint8),
+                )
+        if out is not None:
+            np.asarray(out)
         return time.monotonic() - t0
 
     # -- prediction -------------------------------------------------------
 
-    def predict_batches(self, batches: Iterator[Batch]) -> Iterator[tuple[Batch, np.ndarray]]:
-        """Yield (batch, outputs) with a 1-deep async pipeline.
+    def predict_batches(
+        self, batches: Iterator[Batch], depth: int = 4
+    ) -> Iterator[tuple[Batch, np.ndarray]]:
+        """Yield (batch, outputs) with a `depth`-deep async pipeline.
 
+        Dispatches run ahead of result collection so per-call dispatch/transfer
+        latency (large on tunneled chips) overlaps across in-flight batches.
         Outputs are (B, W, 2) float32 logits, or (B, W) int8 labels when
         `return_labels`. Partial batches are padded up to the bucket's target
         batch size on the batch axis; outputs are sliced back before yielding.
         """
+        from collections import deque
+
         t_start = time.monotonic()
-        pending: tuple[Batch, object] | None = None
+        pending: deque = deque()
         for batch in batches:
             b, w = batch.input_ids.shape
             target_b = self._bucket_batch_size(w)
+            ids8 = batch.input_ids.astype(np.int8)  # vocab ids are < 128
+            if batch.quals_raw is None:
+                raise ValueError("engine requires batches with quals_raw (see pad_batch)")
+            quals8 = batch.quals_raw
             if b < target_b:
-                pad_ids = np.full((target_b - b, w), default.TOKEN_PAD, np.int32)
-                ids_in = np.concatenate([batch.input_ids, pad_ids], axis=0)
-                quals_in = np.concatenate(
-                    [batch.quals, np.zeros((target_b - b, w), np.float32)], axis=0
-                )
+                ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
+                ids_in[:b] = ids8
+                quals_in = np.zeros((target_b, w), np.uint8)
+                quals_in[:b] = quals8
             else:
-                ids_in, quals_in = batch.input_ids, batch.quals
+                ids_in, quals_in = ids8, quals8
             step = self._get_step(ids_in.shape)
             out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
-            if pending is not None:
-                pb, pout = pending
-                yield pb, np.asarray(pout)[: pb.input_ids.shape[0]]
-            pending = (batch, out_dev)
+            try:
+                out_dev.copy_to_host_async()  # overlap D2H with later dispatches
+            except Exception:  # pragma: no cover - runtime-dependent
+                pass
+            pending.append((batch, out_dev, ids_in.shape))
             self.stats.batches += 1
             self.stats.reads += b
             self.stats.tokens += int(batch.lengths.sum())
-        if pending is not None:
-            pb, pout = pending
-            yield pb, np.asarray(pout)[: pb.input_ids.shape[0]]
+            if len(pending) > depth:
+                yield self._unpack(*pending.popleft())
+        while pending:
+            yield self._unpack(*pending.popleft())
         self.stats.elapsed_s += time.monotonic() - t_start
+
+    def _unpack(self, batch: Batch, out_dev, padded_shape) -> tuple[Batch, np.ndarray]:
+        """Slice the canonical flat device buffer back to this batch's rows."""
+        pb_b, w = padded_shape
+        b = batch.input_ids.shape[0]
+        flat = np.asarray(out_dev)
+        if self.return_labels:
+            return batch, flat[: pb_b * w].reshape(pb_b, w)[:b]
+        return batch, flat[: pb_b * w * 2].reshape(pb_b, w, 2)[:b]
 
     def predict_file(
         self,
@@ -174,6 +235,7 @@ class PredictEngine:
             tokens_per_batch=self.tokens_per_batch,
             buckets=self.buckets,
             max_samples=max_samples,
+            max_batch=self.max_batch,
         )
         for i, (batch, outputs) in enumerate(self.predict_batches(batches)):
             if limit_batches is not None and i >= limit_batches:
@@ -219,6 +281,7 @@ class PredictEngine:
             tokens_per_batch=self.tokens_per_batch,
             buckets=self.buckets,
             max_samples=max_samples,
+            max_batch=self.max_batch,
         )
         for batch, labels in self.predict_batches(batches):
             seqs = batch.seqs

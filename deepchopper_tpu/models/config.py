@@ -37,6 +37,10 @@ class HyenaConfig:
     modulation_shift: float = 0.0
     # Numerics: matmuls run in this dtype; FFT/LN always in float32.
     compute_dtype: str = "bfloat16"
+    # Long-conv implementation: "matmul_fft" (four-step Cooley-Tukey on the
+    # MXU — an order of magnitude faster than XLA's TPU FFT lowering) or
+    # "fft" (stock jnp.fft, used when the padded length is not a power of 2).
+    conv_impl: str = "matmul_fft"
 
     @property
     def padded_vocab_size(self) -> int:

@@ -98,6 +98,32 @@ def fft_causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
     return y + v32 * bias[None, None, :]
 
 
+def causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, impl: str) -> jnp.ndarray:
+    """Dispatch the long conv: MXU matmul-FFT when the padded length is a
+    power of two, stock FFT otherwise."""
+    if impl == "matmul_fft" and (2 * v.shape[1]) & (2 * v.shape[1] - 1) == 0:
+        from ..ops.fft import fft_causal_conv_matmul
+
+        return fft_causal_conv_matmul(v, k, bias)
+    return fft_causal_conv(v, k, bias)
+
+
+def short_depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise conv (k taps, left-pad k-1) as shift-multiply-adds.
+
+    Equivalent to lax.conv_general_dilated with feature_group_count=W, which
+    lowers poorly on TPU for large group counts; k shifted elementwise FMAs
+    run on the VPU at memory speed. x: (B, L, W), kernel: (k, 1, W).
+    """
+    taps = kernel.shape[0]
+    seq_len = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (taps - 1, 0), (0, 0)))
+    out = xp[:, 0:seq_len, :] * kernel[0, 0][None, None, :]
+    for t in range(1, taps):
+        out = out + xp[:, t : t + seq_len, :] * kernel[t, 0][None, None, :]
+    return out + bias[None, None, :]
+
+
 class HyenaOperator(nn.Module):
     """Order-2 Hyena mixer: projections, depthwise short conv, gated long conv."""
 
@@ -123,22 +149,14 @@ class HyenaOperator(nn.Module):
             jnp.float32,
         )
         b_short = self.param("short_filter_bias", nn.initializers.zeros, (width,), jnp.float32)
-        pad = cfg.short_filter_order - 1
-        uc = jax.lax.conv_general_dilated(
-            proj.astype(jnp.float32),
-            k_short,
-            window_strides=(1,),
-            padding=[(pad, 0)],
-            dimension_numbers=("NLC", "LIO", "NLC"),
-            feature_group_count=width,
-        ) + b_short[None, None, :]
+        uc = short_depthwise_conv(proj.astype(jnp.float32), k_short, b_short)
 
         x2, x1, v = jnp.split(uc, 3, axis=-1)  # each (B, L, d)
 
         k_long, bias = HyenaFilter(cfg, name="filter_fn")(seq_len)
 
         v = v * x1
-        v = fft_causal_conv(v, k_long, bias)
+        v = causal_conv(v, k_long, bias, cfg.conv_impl)
         y = v * x2
 
         return nn.Dense(d, name="out_proj", dtype=dtype)(y.astype(dtype)).astype(jnp.float32)
