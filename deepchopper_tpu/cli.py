@@ -63,6 +63,59 @@ def _add_misc(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("stat", help="Read-length summary for FASTQ/FASTA/BAM")
     p.add_argument("path", type=Path)
 
+    p = sub.add_parser("eval-bam", help="BAM overlap evaluation of predictions")
+    p.add_argument("bam", type=Path)
+    p.add_argument("predicts", type=Path, help="Prediction shard dir")
+    p.add_argument("--output-dir", type=Path, default=Path("."))
+    p.add_argument("--blat-cli", default=None)
+    p.add_argument("--hg38-2bit", default=None)
+    p.add_argument("--internal-threshold", type=float, default=0.9)
+    p.add_argument("--overlap-threshold", type=float, default=0.5)
+    p.add_argument("--min-mapping-quality", type=int, default=0)
+
+    tools = sub.add_parser("tools", help="Developer utilities (reference dev binaries)")
+    tsub = tools.add_subparsers(dest="tool", required=True)
+
+    t = tsub.add_parser("fq2fa", help="FASTQ -> FASTA on stdout")
+    t.add_argument("fq", type=Path)
+
+    t = tsub.add_parser("fqsearch", help="Search reads by id substring / length")
+    t.add_argument("fq", type=Path)
+    t.add_argument("--id", dest="id_substring", default=None)
+    t.add_argument("--min-len", type=int, default=None)
+    t.add_argument("--max-len", type=int, default=None)
+
+    t = tsub.add_parser("select", help="Select chopped reads by type annotation")
+    t.add_argument("fq", type=Path)
+    t.add_argument("--type", dest="chop_type", default="internal", choices=["terminal", "internal"])
+    t.add_argument("--output", "-o", type=Path, default=None)
+
+    t = tsub.add_parser("diff", help="Compare original vs chopped FASTQ lengths")
+    t.add_argument("original", type=Path)
+    t.add_argument("chopped", type=Path)
+
+    t = tsub.add_parser("chimericstat", help="Count primary mapped reads with SA tags")
+    t.add_argument("bam", type=Path)
+
+    t = tsub.add_parser("sa", help="SA-tag supplementary alignment histogram")
+    t.add_argument("bam", type=Path)
+
+    t = tsub.add_parser("scdiff", help="Compare softclips between two BAMs")
+    t.add_argument("original", type=Path)
+    t.add_argument("chopped", type=Path)
+
+    t = tsub.add_parser("replacefq", help="Replace records by id from another FASTQ")
+    t.add_argument("target", type=Path)
+    t.add_argument("replacement", type=Path)
+    t.add_argument("output", type=Path)
+
+    t = tsub.add_parser("psl-top1", help="Top-1 identity summary of a PSL file")
+    t.add_argument("psl", type=Path)
+
+    t = tsub.add_parser("encode-smoke", help="Tensor-encode a FASTQ and print shapes")
+    t.add_argument("fq", type=Path)
+    t.add_argument("--max-reads", type=int, default=100)
+
     p = sub.add_parser("train", help="Train a model (hydra-style config + overrides)")
     p.add_argument("--config", "-c", type=Path, default=None, help="YAML config file")
     p.add_argument("overrides", nargs="*", help="key.subkey=value overrides")
@@ -189,6 +242,57 @@ def cmd_stat(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval_bam(args: argparse.Namespace) -> int:
+    from .eval import OverlapOptions, collect_overlap_results_for_predicts
+
+    opts = OverlapOptions(
+        internal_threshold=args.internal_threshold,
+        overlap_threshold=args.overlap_threshold,
+        min_mapping_quality=args.min_mapping_quality,
+        blat_cli=args.blat_cli,
+        hg38_2bit=args.hg38_2bit,
+    )
+    results = collect_overlap_results_for_predicts(
+        args.bam, args.predicts, opts, output_dir=args.output_dir
+    )
+    for key in sorted(results):
+        print(f"{key}: {len(results[key])}")
+    return 0
+
+
+def cmd_tools(args: argparse.Namespace) -> int:
+    from . import tools
+
+    if args.tool == "fq2fa":
+        tools.fq2fa(args.fq)
+    elif args.tool == "fqsearch":
+        for rec in tools.fqsearch(args.fq, args.id_substring, args.min_len, args.max_len):
+            sys.stdout.buffer.write(rec.to_bytes())
+    elif args.tool == "select":
+        hits = tools.select_by_chop_type(args.fq, args.chop_type, args.output)
+        print(f"selected {len(hits)} {args.chop_type} records", file=sys.stderr)
+        if args.output is None:
+            for rec in hits:
+                sys.stdout.buffer.write(rec.to_bytes())
+    elif args.tool == "diff":
+        print(tools.diff_fq(args.original, args.chopped))
+    elif args.tool == "chimericstat":
+        s = tools.chimericstat(args.bam)
+        print(f"total={s.total} primary_mapped={s.primary_mapped} with_sa={s.with_sa} ratio={s.ratio:.4f}")
+    elif args.tool == "sa":
+        print(tools.sa_summary(args.bam))
+    elif args.tool == "scdiff":
+        print(tools.scdiff(args.original, args.chopped))
+    elif args.tool == "replacefq":
+        n = tools.replacefq(args.target, args.replacement, args.output)
+        print(f"replaced {n} records -> {args.output}")
+    elif args.tool == "psl-top1":
+        print(tools.psl_top1_summary(args.psl))
+    elif args.tool == "encode-smoke":
+        print(tools.encode_smoke(args.fq, args.max_reads))
+    return 0
+
+
 def cmd_train(args: argparse.Namespace) -> int:
     from .train.config import load_config
     from .train.loop import train
@@ -223,6 +327,8 @@ def main(argv: list[str] | None = None) -> int:
         "stat": cmd_stat,
         "train": cmd_train,
         "eval": cmd_eval,
+        "eval-bam": cmd_eval_bam,
+        "tools": cmd_tools,
     }
     return handlers[args.command](args)
 

@@ -1,8 +1,11 @@
 """JAX model plane: backbones, heads, classifiers, registry, conversion."""
 
-from .classifier import HyenaTokenClassifier, TransformerTokenClassifier
+from .caduceus import BiMambaMixer, CaduceusBackbone, MambaMixer, selective_scan
+from .classifier import CaduceusTokenClassifier, HyenaTokenClassifier, TransformerTokenClassifier
 from .config import (
+    CADUCEUS_CONFIGS,
     HYENA_CONFIGS,
+    CaduceusConfig,
     CnnConfig,
     HeadConfig,
     HyenaConfig,
@@ -22,9 +25,14 @@ from .registry import (
 from .transformer import TransformerBackbone
 
 __all__ = [
+    "CADUCEUS_CONFIGS",
     "HYENA_CONFIGS",
     "MODEL_REGISTRY",
     "BenchmarkCNN",
+    "BiMambaMixer",
+    "CaduceusBackbone",
+    "CaduceusConfig",
+    "CaduceusTokenClassifier",
     "CnnConfig",
     "DeepChopper",
     "HeadConfig",
@@ -33,6 +41,7 @@ __all__ = [
     "HyenaFilter",
     "HyenaOperator",
     "HyenaTokenClassifier",
+    "MambaMixer",
     "ModelBundle",
     "TokenClassificationCnnHead",
     "TokenClassificationHead",
@@ -41,6 +50,7 @@ __all__ = [
     "TransformerTokenClassifier",
     "build_model",
     "fft_causal_conv",
+    "selective_scan",
     "init_params",
     "load_checkpoint",
     "save_checkpoint",

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .config import HeadConfig, HyenaConfig, TransformerConfig
+from .caduceus import CaduceusBackbone
+from .config import CaduceusConfig, HeadConfig, HyenaConfig, TransformerConfig
 from .head import TokenClassificationHead
 from .hyena import HyenaBackbone
 from .transformer import TransformerBackbone
@@ -27,6 +28,20 @@ class HyenaTokenClassifier(nn.Module):
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
         hidden = HyenaBackbone(self.backbone_config, name="backbone")(input_ids)
+        return TokenClassificationHead(self.head_config, name="head")(hidden, input_quals)
+
+
+class CaduceusTokenClassifier(nn.Module):
+    """Bidirectional-Mamba (Caduceus) backbone + head
+    (reference capability: deepchopper/models/llm/caduceus.py:18-55)."""
+
+    backbone_config: CaduceusConfig
+    head_config: HeadConfig
+    number_of_classes: int = 2
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
+        hidden = CaduceusBackbone(self.backbone_config, name="backbone")(input_ids)
         return TokenClassificationHead(self.head_config, name="head")(hidden, input_quals)
 
 

@@ -76,6 +76,39 @@ class HeadConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CaduceusConfig:
+    """Caduceus bidirectional-Mamba backbone hyperparameters
+    (reference family: kuleshov-group/caduceus-*_seqlen-131k_d_model-256_n_layer-16,
+    consumed at deepchopper/models/llm/caduceus.py:5-55)."""
+
+    d_model: int = 256
+    n_layer: int = 16
+    vocab_size: int = 12
+    pad_vocab_size_multiple: int = 8
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int = 16  # ceil(d_model / 16)
+    max_seq_len: int = 131072
+    layer_norm_epsilon: float = 1e-5
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.pad_vocab_size_multiple
+        return ((self.vocab_size + m - 1) // m) * m
+
+
+CADUCEUS_PH_131K = CaduceusConfig()
+CADUCEUS_TINY = CaduceusConfig(d_model=64, n_layer=2, d_state=8, dt_rank=4, max_seq_len=1024)
+
+CADUCEUS_CONFIGS: dict[str, CaduceusConfig] = {
+    "caduceus-ph_seqlen-131k_d_model-256_n_layer-16": CADUCEUS_PH_131K,
+    "caduceus-ps_seqlen-131k_d_model-256_n_layer-16": CADUCEUS_PH_131K,
+}
+
+
+@dataclasses.dataclass(frozen=True)
 class TransformerConfig:
     """From-scratch transformer-encoder baseline
     (reference: deepchopper/models/transformer.py:12-107)."""

@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .classifier import HyenaTokenClassifier, TransformerTokenClassifier
+from .classifier import CaduceusTokenClassifier, HyenaTokenClassifier, TransformerTokenClassifier
 from .config import (
+    CADUCEUS_CONFIGS,
     HYENA_CONFIGS,
     CnnConfig,
     HeadConfig,
@@ -93,6 +94,25 @@ def _transformer() -> Any:
 @register("cnn")
 def _cnn() -> Any:
     return BenchmarkCNN(config=CnnConfig())
+
+
+@register("caduceus-ph_seqlen-131k_d_model-256_n_layer-16")
+@register("caduceus-ps_seqlen-131k_d_model-256_n_layer-16")
+def _caduceus_131k() -> Any:
+    return CaduceusTokenClassifier(
+        backbone_config=CADUCEUS_CONFIGS["caduceus-ph_seqlen-131k_d_model-256_n_layer-16"],
+        head_config=_default_head(),
+    )
+
+
+@register("caduceus-tiny")
+def _caduceus_tiny() -> Any:
+    from .config import CADUCEUS_TINY
+
+    return CaduceusTokenClassifier(
+        backbone_config=CADUCEUS_TINY,
+        head_config=dataclasses.replace(_default_head(), input_size=64, lin1_size=128, lin2_size=128),
+    )
 
 
 def build_model(name: str) -> Any:
