@@ -65,20 +65,28 @@ class PredictEngine:
         buckets: list[int] | None = None,
         max_batch: int = 512,
         return_labels: bool = False,
+        mesh=None,
     ):
+        """`mesh`: optional 1-axis `jax.sharding.Mesh` — the batch axis shards
+        across it (data-parallel predict over chips; reference capability:
+        multi-GPU Lightning predict, deepchopper/cli.py:127-135). Outputs stay
+        replicated (labels are tiny); per-host shard naming is handled by
+        `predict_file(rank=jax.process_index())`."""
         self.bundle = bundle
         self.max_length = max_length
         self.tokens_per_batch = tokens_per_batch
         self.buckets = buckets or default_buckets(max_length)
         self.max_batch = max_batch
         self.return_labels = return_labels
+        self.mesh = mesh
         self._compiled: dict[tuple[int, int], object] = {}
         self.stats = PredictStats()
 
         module = bundle.module
-        # Covers the degenerate case tokens_per_batch < max bucket width
-        # (single-read batch at the widest bucket).
-        flat_tokens = max(self.tokens_per_batch, max(self.buckets))
+        # Covers the degenerate case tokens_per_batch < max bucket width:
+        # the widest bucket still needs one batch row per mesh device.
+        min_rows = mesh.devices.size if mesh is not None else 1
+        flat_tokens = max(self.tokens_per_batch, max(self.buckets) * min_rows)
         self._flat_tokens = flat_tokens
 
         # Both steps return ONE canonical flat shape regardless of the bucket:
@@ -114,7 +122,12 @@ class PredictEngine:
             return jax.lax.dynamic_update_slice(out, labels.reshape(-1), (0,))
 
         self._step_fn = _labels_step if return_labels else _logits_step
-        self._params = jax.device_put(bundle.params)
+        if mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+
+            self._params = jax.device_put(bundle.params, replicated_sharding(mesh))
+        else:
+            self._params = jax.device_put(bundle.params)
 
     # -- compilation ------------------------------------------------------
 
@@ -122,7 +135,20 @@ class PredictEngine:
         fn = self._compiled.get(shape)
         if fn is None:
             t0 = time.monotonic()
-            fn = jax.jit(self._step_fn)
+            if self.mesh is not None:
+                from ..parallel.mesh import batch_sharding, replicated_sharding
+
+                fn = jax.jit(
+                    self._step_fn,
+                    in_shardings=(
+                        replicated_sharding(self.mesh),
+                        batch_sharding(self.mesh),
+                        batch_sharding(self.mesh),
+                    ),
+                    out_shardings=replicated_sharding(self.mesh),
+                )
+            else:
+                fn = jax.jit(self._step_fn)
             # Trigger compile eagerly so compile time is attributable.
             ids = jnp.zeros(shape, jnp.int8)
             quals = jnp.zeros(shape, jnp.uint8)
@@ -134,7 +160,12 @@ class PredictEngine:
         return fn
 
     def _bucket_batch_size(self, width: int) -> int:
-        return max(1, min(self.max_batch, self.tokens_per_batch // width))
+        n = max(1, min(self.max_batch, self.tokens_per_batch // width))
+        if self.mesh is not None:
+            # The sharded batch axis must divide evenly across the mesh.
+            size = self.mesh.devices.size
+            n = max(size, (n // size) * size)
+        return n
 
     def warmup(self, buckets: list[int] | None = None) -> float:
         """Precompile every bucket shape; returns total compile seconds.
