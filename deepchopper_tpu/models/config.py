@@ -37,10 +37,11 @@ class HyenaConfig:
     modulation_shift: float = 0.0
     # Numerics: matmuls run in this dtype; FFT/LN always in float32.
     compute_dtype: str = "bfloat16"
-    # Long-conv implementation: "matmul_fft" (four-step Cooley-Tukey on the
-    # MXU — an order of magnitude faster than XLA's TPU FFT lowering) or
-    # "fft" (stock jnp.fft, used when the padded length is not a power of 2).
-    conv_impl: str = "matmul_fft"
+    # Long-conv implementation: "pallas_fft" (fused VMEM kernel, ~4x over the
+    # XLA matmul FFT on TPU; auto-falls back off-TPU), "matmul_fft" (four-step
+    # Cooley-Tukey on the MXU via XLA — an order of magnitude faster than
+    # XLA's TPU FFT lowering), or "fft" (stock jnp.fft, any length).
+    conv_impl: str = "pallas_fft"
 
     @property
     def padded_vocab_size(self) -> int:

@@ -99,9 +99,23 @@ def fft_causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray) -> jnp.nd
 
 
 def causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, impl: str) -> jnp.ndarray:
-    """Dispatch the long conv: MXU matmul-FFT when the padded length is a
-    power of two, stock FFT otherwise."""
-    if impl == "matmul_fft" and (2 * v.shape[1]) & (2 * v.shape[1] - 1) == 0:
+    """Dispatch the long conv.
+
+    impl:
+      "pallas_fft"  — fused VMEM kernel (ops/pallas_fft.py) on TPU; falls back
+                      to matmul_fft when off-TPU or the length is unsupported.
+      "matmul_fft"  — XLA four-step Cooley-Tukey on the MXU (ops/fft.py).
+      "fft"         — stock jnp.fft (any length).
+    """
+    seq_len = v.shape[1]
+    pow2 = (2 * seq_len) & (2 * seq_len - 1) == 0
+    if impl == "pallas_fft" and pow2:
+        from ..ops import pallas_fft
+
+        if 2 * seq_len >= pallas_fft.MIN_N and jax.default_backend() == "tpu":
+            return pallas_fft.fft_causal_conv_pallas(v, k, bias)
+        impl = "matmul_fft"
+    if impl in ("matmul_fft", "pallas_fft") and pow2:
         from ..ops.fft import fft_causal_conv_matmul
 
         return fft_causal_conv_matmul(v, k, bias)

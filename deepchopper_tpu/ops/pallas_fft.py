@@ -1,0 +1,270 @@
+"""Fused Pallas TPU kernel for the Hyena causal FFT convolution.
+
+The XLA-level matmul FFT (`ops/fft.py`) is HBM-bound: every four-step stage
+round-trips (B, N, D)-sized float32 intermediates through HBM (~12 GB of
+traffic per call at the flagship shapes). This kernel performs the entire
+pad -> FFT -> pointwise(k_hat) -> iFFT chain in VMEM, one channel per grid
+step, so HBM traffic drops to reading v and writing y once (~270 MB per
+call) and the MXU does the DFT matmuls from VMEM.
+
+Mosaic constraints shape the math (established by probing on hardware):
+* contractions lower only as standard (batched) matmuls — middle-axis
+  einsums are rejected and `swapaxes` crashes the compiler when the
+  resulting lane dimension is < 64. The four-step FFT is therefore written
+  TRANSPOSE-FREE: the stage that contracts the middle axis left-multiplies
+  by the DFT matrix broadcast over the batch, `(B, n2, h) @ (B, h, n1)`,
+  keeping the minor digit n1 in the lane dimension throughout;
+* the forward transform emits the frequency domain in SCRAMBLED digit order
+  (k = k2 + n2*k1 stored at (k2, k1)) and the inverse consumes exactly that
+  order, so no bit-reversal permutation is ever materialized — the filter
+  spectrum `k_hat` is precomputed in the same scrambled layout;
+* zero-padding from L to N=2L is never materialized: with n = j1 + n1*j2
+  the padded half is exactly j2 >= n2/2, so the forward's first stage
+  contracts only the first n2/2 columns of DFT_{n2} and the inverse's last
+  stage computes only the first n2/2 output rows (halves both stages);
+* the Hyena skip term y += v*bias is folded into the filter as a delta tap
+  (k[0] += bias), which is exact for convolution.
+
+Four-step factorization (N = n1*n2, input digit n = j1 + n1*j2, output
+digit k = k2 + n2*k1; 1/N folded into the filter spectrum):
+
+  X[k2 + n2*k1] = sum_j1 W_n1^{j1 k1} * W_N^{j1 k2} * sum_j2 W_n2^{j2 k2} x[j1 + n1*j2]
+  y[j1 + n1*j2] = (1/N) sum_k2 W_n2^{-j2 k2} * W_N^{-j1 k2} * sum_k1 W_n1^{-j1 k1} Y[(k2,k1)]
+
+Reference capability this accelerates: the HyenaDNA long-conv operator the
+reference consumes via torch `AutoModel` (reference:
+deepchopper/models/llm/hyena.py:8-41). The architecture is re-derived; this
+file is TPU-native engineering with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Smallest padded length the kernel supports (bucket width 256); shorter
+# inputs fall back to the XLA matmul FFT.
+MIN_N = 512
+
+
+def _split(n: int) -> tuple[int, int]:
+    """Factor N = n1 * n2 with the minor digit n1 sized for the lane dim.
+
+    n1 is the lane dimension of every in-kernel array, so it is pinned to
+    the hardware-friendly 64 (128 for large N) rather than sqrt(N).
+    """
+    log = int(math.log2(n))
+    if 2**log != n:
+        raise ValueError(f"pallas FFT conv requires power-of-two length, got {n}")
+    if n < MIN_N:
+        raise ValueError(f"pallas FFT conv requires N >= {MIN_N}, got {n}")
+    # n1 = 128 fills the MXU (the n1-contractions carry ~90% of the MACs);
+    # smaller N cannot afford it because n2 = N/n1 must keep h = n2/2 >= 4.
+    n1 = 128 if n >= 2048 else 64
+    return n1, n // n1
+
+
+@functools.lru_cache(maxsize=32)
+def _tables(n: int) -> dict[str, np.ndarray]:
+    """All DFT/twiddle tables for length-N forward+inverse, float32 numpy.
+
+    Layouts match the kernel's batched-matmul orientation:
+      c2h/s2h:   (n2, n2/2) forward stage 1 (left-mult), non-padded j2 only
+      ctw/stw:   (n2, n1)   forward twiddle W_N^{j1 k2} at (k2, j1)
+      c1/s1:     (n1, n1)   forward stage 2 DFT_{n1} (right-mult, [j1, k1])
+      ic1/is1:   (n1, n1)   inverse stage 1 IDFT_{n1} (right-mult, [k1, j1])
+      ictw/istw: (n2, n1)   inverse twiddle W_N^{-j1 k2} at (k2, j1)
+      ic2h/is2h: (n2/2, n2) inverse stage 2 (left-mult), output j2 < n2/2
+    """
+    n1, n2 = _split(n)
+    h = n2 // 2
+
+    j2 = np.arange(n2)
+    k2 = np.arange(n2)
+    j1 = np.arange(n1)
+    k1 = np.arange(n1)
+
+    a2 = -2.0 * np.pi / n2 * (k2[:, None] * j2[None, :h])  # (n2, h)
+    atw = -2.0 * np.pi / n * (k2[:, None] * j1[None, :])  # (n2, n1)
+    a1 = -2.0 * np.pi / n1 * (j1[:, None] * k1[None, :])  # (n1, n1)
+    ia1 = 2.0 * np.pi / n1 * (k1[:, None] * j1[None, :])  # (n1, n1)
+    iatw = 2.0 * np.pi / n * (k2[:, None] * j1[None, :])  # (n2, n1)
+    ia2 = 2.0 * np.pi / n2 * (j2[:h, None] * k2[None, :])  # (h, n2)
+
+    return {
+        "c2h": np.cos(a2).astype(np.float32),
+        "s2h": np.sin(a2).astype(np.float32),
+        "ctw": np.cos(atw).astype(np.float32),
+        "stw": np.sin(atw).astype(np.float32),
+        "c1": np.cos(a1).astype(np.float32),
+        "s1": np.sin(a1).astype(np.float32),
+        "ic1": np.cos(ia1).astype(np.float32),
+        "is1": np.sin(ia1).astype(np.float32),
+        "ictw": np.cos(iatw).astype(np.float32),
+        "istw": np.sin(iatw).astype(np.float32),
+        "ic2h": np.cos(ia2).astype(np.float32),
+        "is2h": np.sin(ia2).astype(np.float32),
+    }
+
+
+def khat_scrambled(
+    k: jnp.ndarray, n: int, bias: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Filter spectrum in the kernel's scrambled (k2, k1) layout, scaled 1/N.
+
+    k: (L, D) float32 filter taps. Returns (kr, ki), each (D, n2, n1).
+    Computed with the XLA matmul FFT (tiny: D rows), then digit-permuted:
+    natural flat index k = k2 + n2*k1 lives at reshape(n1, n2)[k1, k2].
+
+    `bias` (D,), if given, is folded in as a delta tap (k[0] += bias): the
+    Hyena skip term y += v*bias is exactly convolution with bias*delta.
+    """
+    from .fft import matmul_fft
+
+    n1, n2 = _split(n)
+    seq_len, d = k.shape
+    k32 = k.astype(jnp.float32)
+    if bias is not None:
+        k32 = k32.at[0].add(bias.astype(jnp.float32))
+    kt = jnp.pad(k32.T, ((0, 0), (0, n - seq_len)))  # (D, N)
+    fr, fi = matmul_fft(kt)
+    fr = fr.reshape(d, n1, n2).swapaxes(-1, -2) / n
+    fi = fi.reshape(d, n1, n2).swapaxes(-1, -2) / n
+    return fr, fi
+
+
+def _conv_kernel(
+    v_ref,
+    kr_ref,
+    ki_ref,
+    c2h_ref,
+    s2h_ref,
+    ctw_ref,
+    stw_ref,
+    c1_ref,
+    s1_ref,
+    ic1_ref,
+    is1_ref,
+    ictw_ref,
+    istw_ref,
+    ic2h_ref,
+    is2h_ref,
+    out_ref,
+):
+    """One channel: y = causal_conv(v, k + bias*delta)[:L], fully in VMEM.
+
+    v_ref block is pre-shaped (1, B, n2/2, n1) OUTSIDE the kernel: Mosaic
+    cannot lower an in-kernel reshape that narrows the lane dim below 128.
+    """
+    xh = v_ref[0]  # (B, h, n1) float32, [j2, j1]: n = j1 + n1*j2, pad is j2 >= h
+    b, h, n1 = xh.shape
+    n2 = 2 * h
+
+    def rmm(a, m):
+        # (B, n2, X) @ (X, Y) -> (B, n2, Y): right-mult, contracts the lane dim.
+        return jax.lax.dot_general(
+            a, m, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def lmm(m, a):
+        # (Y, X) [left-broadcast over B] @ (B, X, n1) -> (B, Y, n1):
+        # contracts the MIDDLE axis without any transpose.
+        mb = jnp.broadcast_to(m, (b, *m.shape))
+        return jax.lax.dot_general(
+            mb, a, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    # Forward stage 1: contract j2 over the non-padded half (left-mult).
+    tr = lmm(c2h_ref[:], xh)  # (B, n2, n1) [k2, j1]
+    ti = lmm(s2h_ref[:], xh)
+
+    # Forward twiddle W_N^{j1 k2} at (k2, j1).
+    ctw, stw = ctw_ref[:], stw_ref[:]
+    tr, ti = tr * ctw - ti * stw, tr * stw + ti * ctw
+
+    # Forward stage 2: contract j1 (right-mult) -> scrambled (B, n2, n1) [k2, k1].
+    c1, s1 = c1_ref[:], s1_ref[:]
+    xr = rmm(tr, c1) - rmm(ti, s1)
+    xi = rmm(tr, s1) + rmm(ti, c1)
+
+    # Pointwise filter product in scrambled order (1/N folded into k_hat).
+    kr, ki = kr_ref[0], ki_ref[0]
+    yr = xr * kr - xi * ki
+    yi = xr * ki + xi * kr
+
+    # Inverse stage 1: contract k1 (right-mult) -> (B, n2, n1) [k2, j1].
+    ic1, is1 = ic1_ref[:], is1_ref[:]
+    sr = rmm(yr, ic1) - rmm(yi, is1)
+    si = rmm(yr, is1) + rmm(yi, ic1)
+
+    # Inverse twiddle W_N^{-j1 k2} at (k2, j1).
+    ictw, istw = ictw_ref[:], istw_ref[:]
+    sr, si = sr * ictw - si * istw, sr * istw + si * ictw
+
+    # Inverse stage 2: contract k2 (left-mult), real part, output rows j2 < h
+    # only -> (B, h, n1) [j2, j1] = natural order (reshaped to (B, L) outside).
+    out_ref[0] = lmm(ic2h_ref[:], sr) - lmm(is2h_ref[:], si)
+
+
+def fft_causal_conv_pallas(
+    v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
+    """Causal long conv y = (v * k)[:L] + v*bias as one fused Pallas kernel.
+
+    v: (B, L, D) float32, k: (L, D), bias: (D,) — the same contract as
+    `models.hyena.fft_causal_conv` / `ops.fft.fft_causal_conv_matmul`.
+    L must be a power of two >= 256 (bucket widths are). Grid is one step
+    per channel; each step's working set lives in VMEM and Mosaic
+    double-buffers the HBM reads/writes across steps.
+    """
+    batch, seq_len, d_model = v.shape
+    n = 2 * seq_len
+    n1, n2 = _split(n)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    h = n2 // 2
+    v32 = v.astype(jnp.float32)
+    # (D, B, h, n1): the digit split is pre-shaped host-side (free row-major
+    # view) because Mosaic rejects in-kernel reshapes to lane dims < 128.
+    vt = jnp.moveaxis(v32, -1, 0).reshape(d_model, batch, h, n1)
+    kr, ki = khat_scrambled(k, n, bias)  # (D, n2, n1) each
+
+    t = _tables(n)
+    tables = [
+        t["c2h"], t["s2h"], t["ctw"], t["stw"], t["c1"], t["s1"],
+        t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
+    ]  # fmt: skip
+
+    per_channel = pl.BlockSpec(
+        (1, batch, h, n1), lambda d: (d, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    khat_spec = pl.BlockSpec((1, n2, n1), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = [
+        pl.BlockSpec(a.shape, lambda d: (0, 0), memory_space=pltpu.VMEM) for a in tables
+    ]
+
+    # MACs: fwd s1 2*(B*n2*h*n1) + fwd s2 4*(B*n2*n1*n1) + inv s1 4 + inv s2 2.
+    flops_fft = 2 * d_model * batch * n * (n2 // 2 + 4 * n1)
+    out = pl.pallas_call(
+        _conv_kernel,
+        grid=(d_model,),
+        in_specs=[per_channel, khat_spec, khat_spec, *table_spec],
+        out_specs=per_channel,
+        out_shape=jax.ShapeDtypeStruct((d_model, batch, h, n1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_fft,
+            bytes_accessed=2 * d_model * batch * seq_len * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(vt, kr, ki, *[jnp.asarray(a) for a in tables])
+
+    return jnp.moveaxis(out.reshape(d_model, batch, seq_len), 0, -1)  # (B, L, D)

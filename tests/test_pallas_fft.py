@@ -1,0 +1,87 @@
+"""Fused Pallas FFT-conv kernel vs the stock FFT conv (interpret mode on CPU)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepchopper_tpu.models.hyena import fft_causal_conv
+from deepchopper_tpu.ops.pallas_fft import _split, _tables, fft_causal_conv_pallas, khat_scrambled
+
+
+@pytest.mark.parametrize("shape", [(4, 256, 8), (2, 1024, 4), (3, 512, 16), (2, 4096, 4)])
+def test_pallas_conv_matches_fft(shape):
+    batch, seq_len, d_model = shape
+    rng = np.random.default_rng(seq_len)
+    v = rng.standard_normal((batch, seq_len, d_model)).astype(np.float32)
+    k = (
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None]
+    ).astype(np.float32)
+    bias = rng.standard_normal(d_model).astype(np.float32)
+    ref = np.asarray(fft_causal_conv(jnp.asarray(v), jnp.asarray(k), jnp.asarray(bias)))
+    got = np.asarray(fft_causal_conv_pallas(jnp.asarray(v), jnp.asarray(k), jnp.asarray(bias)))
+    np.testing.assert_allclose(got, ref, atol=5e-5 * max(1.0, np.abs(ref).max()))
+
+
+def test_pallas_conv_rejects_non_pow2():
+    with pytest.raises(ValueError):
+        fft_causal_conv_pallas(
+            jnp.zeros((2, 100, 4), jnp.float32),
+            jnp.zeros((100, 4), jnp.float32),
+            jnp.zeros((4,), jnp.float32),
+        )
+
+
+def test_split_lane_rules():
+    # n1 is the lane dim: 128 when affordable, 64 below N=2048; h >= 4 always.
+    for n in (512, 1024, 2048, 4096, 65536):
+        n1, n2 = _split(n)
+        assert n1 * n2 == n
+        assert n1 in (64, 128)
+        assert n2 // 2 >= 4
+    with pytest.raises(ValueError):
+        _split(256)
+
+
+def test_khat_scrambled_layout():
+    """Scrambled spectrum must be the digit permutation of the natural FFT."""
+    n = 512
+    n1, n2 = _split(n)
+    rng = np.random.default_rng(0)
+    k = rng.standard_normal((n // 2, 3)).astype(np.float32)
+    kr, ki = khat_scrambled(jnp.asarray(k), n)
+    ref = np.fft.fft(np.pad(k, ((0, n - n // 2), (0, 0))), axis=0).T / n  # (D, N)
+    # scrambled[d, k2, k1] == natural[d, k2 + n2*k1]
+    nat = np.asarray(kr) + 1j * np.asarray(ki)
+    for k1 in range(0, n1, 17):
+        for k2 in range(0, n2, 3):
+            np.testing.assert_allclose(
+                nat[:, k2, k1], ref[:, k2 + n2 * k1], atol=2e-4 * np.abs(ref).max()
+            )
+
+
+def test_khat_bias_fold_is_delta_tap():
+    n = 512
+    rng = np.random.default_rng(1)
+    k = rng.standard_normal((n // 2, 2)).astype(np.float32)
+    bias = np.asarray([0.5, -2.0], np.float32)
+    r0, i0 = khat_scrambled(jnp.asarray(k), n)
+    kb = k.copy()
+    kb[0] += bias
+    r1, i1 = khat_scrambled(jnp.asarray(kb), n)
+    r2, i2 = khat_scrambled(jnp.asarray(k), n, jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i2), np.asarray(i1), atol=1e-6)
+    assert np.abs(np.asarray(r2) - np.asarray(r0)).max() > 1e-4  # bias actually changed it
+
+
+def test_tables_orthogonality():
+    """Forward followed by inverse tables must reconstruct the identity."""
+    n = 1024
+    n1, n2 = _split(n)
+    t = _tables(n)
+    # DFT_{n1} then IDFT_{n1} (scaled by n1) is identity.
+    f1 = t["c1"] + 1j * t["s1"]
+    i1 = t["ic1"] + 1j * t["is1"]
+    np.testing.assert_allclose((f1 @ i1).real / n1, np.eye(n1), atol=1e-5)
