@@ -14,6 +14,24 @@ The top-level namespace mirrors the reference's PyO3 bridge surface
 from __future__ import annotations
 
 from . import default, errors, ops
+from .data.tensor_encoder import (
+    FqEncoderOption,
+    RecordData,
+    TensorEncoder,
+    encode_fq_path_to_tensor,
+    encode_fq_paths_to_tensor,
+)
+from .io.parquet import (
+    JsonEncoder,
+    ParquetEncoder,
+    encode_fq_path_to_json,
+    encode_fq_path_to_parquet,
+    encode_fq_path_to_parquet_chunk,
+    encode_fq_paths_to_parquet,
+    extract_records_by_ids,
+    write_json,
+    write_parquet,
+)
 from .io.chop import (
     ChopType,
     FastqRecord,
@@ -53,8 +71,22 @@ __version__ = "0.1.0"
 __all__ = [
     "ChopType",
     "FastqRecord",
+    "FqEncoderOption",
+    "JsonEncoder",
+    "ParquetEncoder",
+    "RecordData",
+    "TensorEncoder",
     "ascii_list2str",
     "default",
+    "encode_fq_path_to_json",
+    "encode_fq_path_to_parquet",
+    "encode_fq_path_to_parquet_chunk",
+    "encode_fq_path_to_tensor",
+    "encode_fq_paths_to_parquet",
+    "encode_fq_paths_to_tensor",
+    "extract_records_by_ids",
+    "write_json",
+    "write_parquet",
     "encode_qual",
     "encode_qual_kmer",
     "errors",

@@ -10,8 +10,20 @@ from .bucketing import (
     pick_bucket,
 )
 from .fastq_module import iter_batches, iter_encoded_reads, parse_fastq_file
+from .tensor_encoder import (
+    FqEncoderOption,
+    RecordData,
+    TensorEncoder,
+    encode_fq_path_to_tensor,
+    encode_fq_paths_to_tensor,
+)
 
 __all__ = [
+    "FqEncoderOption",
+    "RecordData",
+    "TensorEncoder",
+    "encode_fq_path_to_tensor",
+    "encode_fq_paths_to_tensor",
     "Batch",
     "EncodedRead",
     "bucketed_batches",

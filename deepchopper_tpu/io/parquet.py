@@ -51,7 +51,7 @@ def _arrow_schema():
 
 
 def encode_fq_path_to_parquet(
-    fq_path: str | Path, result_path: str | Path | None = None, **_kw
+    fq_path: str | Path, result_path: str | Path | None = None, kmer_size: int = 0, **_kw
 ) -> Path:
     """Encode one FASTQ to one parquet file
     (reference: src/python.rs `encode_fq_path_to_parquet`)."""
@@ -61,7 +61,7 @@ def encode_fq_path_to_parquet(
     fq_path = Path(fq_path)
     if result_path is None:
         result_path = fq_path.with_suffix(".parquet")
-    rows = list(_record_rows(fq_path))
+    rows = list(_record_rows(fq_path, kmer_size=kmer_size))
     table = pa.Table.from_pylist(rows, schema=_arrow_schema())
     pq.write_table(table, result_path)
     return Path(result_path)
@@ -95,14 +95,16 @@ def encode_fq_path_to_parquet_chunk(
     return out_dir
 
 
-def encode_fq_path_to_json(fq_path: str | Path, result_path: str | Path | None = None, **_kw) -> Path:
+def encode_fq_path_to_json(
+    fq_path: str | Path, result_path: str | Path | None = None, kmer_size: int = 0, **_kw
+) -> Path:
     """Encode one FASTQ to JSON-lines
     (reference: src/fq_encode/json_encoder.rs:36-144)."""
     fq_path = Path(fq_path)
     if result_path is None:
         result_path = fq_path.with_suffix(".json")
     with open(result_path, "w") as fh:
-        for row in _record_rows(fq_path):
+        for row in _record_rows(fq_path, kmer_size=kmer_size):
             fh.write(json.dumps(row) + "\n")
     return Path(result_path)
 
@@ -128,3 +130,28 @@ def extract_records_by_ids(fq_path: str | Path, ids: list[str]) -> list:
 
     wanted = set(ids)
     return [rec for rec in StreamingFastqReader(fq_path) if rec.name in wanted]
+
+
+class JsonEncoder:
+    """Class-style wrapper (reference: src/fq_encode/json_encoder.rs:36-144)."""
+
+    def __init__(self, option=None):
+        self.option = option
+
+    def encode(self, fq_path: str | Path, result_path: str | Path | None = None) -> Path:
+        k = getattr(self.option, "kmer_size", 0) if self.option is not None else 0
+        return encode_fq_path_to_json(fq_path, result_path, kmer_size=k)
+
+
+class ParquetEncoder:
+    """Class-style wrapper (reference: src/fq_encode/parquet_encoder.rs:41-168)."""
+
+    def __init__(self, option=None):
+        self.option = option
+
+    def encode(self, fq_path: str | Path, result_path: str | Path | None = None) -> Path:
+        k = getattr(self.option, "kmer_size", 0) if self.option is not None else 0
+        return encode_fq_path_to_parquet(fq_path, result_path, kmer_size=k)
+
+    def encode_chunk(self, fq_path: str | Path, chunk_size: int = 1_000_000, parallel: bool = True):
+        return encode_fq_path_to_parquet_chunk(fq_path, chunk_size=chunk_size, parallel=parallel)
