@@ -14,6 +14,12 @@ The top-level namespace mirrors the reference's PyO3 bridge surface
 from __future__ import annotations
 
 from . import default, errors, ops
+from .chop.pipeline import predict_cli
+from .data.assembly import (
+    collect_and_split_dataset,
+    collect_and_split_dataset_with_natural_terminal_adapters,
+    collect_and_split_dataset_with_natural_terminal_adapters_and_both_adapters,
+)
 from .data.tensor_encoder import (
     FqEncoderOption,
     RecordData,
@@ -32,14 +38,27 @@ from .io.parquet import (
     write_json,
     write_parquet,
 )
+from .io.bam import BamRecord
 from .io.chop import (
     ChopType,
     FastqRecord,
     generate_unmaped_intervals,
     remove_intervals_and_keep_left,
     split_records_by_intervals,
+    split_records_by_remove_interval,
     split_records_by_remove_intervals,
 )
+from .io.fastq import convert_multiple_fqs_to_one_fq, write_fq, write_fq_parallel
+from .io.parquet import write_predicts
+from .io.predicts import (
+    Predict,
+    load_predicts_from_batch_pt,
+    load_predicts_from_batch_pts,
+)
+from .eval.blat import PslAlignment, parse_psl_by_qname
+from .eval.stat import StatResult, collect_statistics_for_predicts
+from .utils.stat import summary_bam_record_len, summary_fx_record_len
+from .utils.vis import highlight_targets
 from .ops import (
     ascii_list2str,
     encode_qual,
@@ -69,8 +88,28 @@ from .ops import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "BamRecord",
     "ChopType",
     "FastqRecord",
+    "Predict",
+    "PslAlignment",
+    "StatResult",
+    "collect_and_split_dataset",
+    "collect_and_split_dataset_with_natural_terminal_adapters",
+    "collect_and_split_dataset_with_natural_terminal_adapters_and_both_adapters",
+    "collect_statistics_for_predicts",
+    "convert_multiple_fqs_to_one_fq",
+    "highlight_targets",
+    "load_predicts_from_batch_pt",
+    "load_predicts_from_batch_pts",
+    "parse_psl_by_qname",
+    "predict_cli",
+    "split_records_by_remove_interval",
+    "summary_bam_record_len",
+    "summary_fx_record_len",
+    "write_fq",
+    "write_fq_parallel",
+    "write_predicts",
     "FqEncoderOption",
     "JsonEncoder",
     "ParquetEncoder",

@@ -155,6 +155,38 @@ def run_chop(
     return stream_chop_with_predicts(all_predicts, fq_path, opts)
 
 
+def predict_cli(
+    predicts: list[str | Path],
+    fq: str | Path,
+    threads: int = 2,
+    max_batch_size: int | None = None,
+    smooth_window_size: int = default.SMOOTH_WINDOW_SIZE,
+    min_interval_size: int = default.MIN_INTERVAL_SIZE,
+    approved_interval_number: int = default.APPROVED_INTERVAL_NUMBER,
+    max_process_intervals: int = default.MAX_PROCESS_INTERVALS,
+    min_read_length_after_chop: int = default.MIN_READ_LENGTH_AFTER_CHOP,
+    output_chopped_seqs: bool = False,
+    chop_type: ChopType = ChopType.ALL,
+    output_prefix: str | None = None,
+) -> ChopStats:
+    """In-memory chop pipeline with the reference `PredictOptions` knobs
+    (reference: src/cli.rs:13-165, exported as py_predict_cli at
+    src/python.rs:827-876)."""
+    opts = ChopOptions(
+        smooth_window_size=smooth_window_size,
+        min_interval_size=min_interval_size,
+        approved_interval_number=approved_interval_number,
+        max_process_intervals=max_process_intervals,
+        min_read_length_after_chop=min_read_length_after_chop,
+        output_chopped_seqs=output_chopped_seqs,
+        chop_type=chop_type,
+        threads=threads,
+        max_batch_size=max_batch_size,
+        output_prefix=output_prefix,
+    )
+    return run_chop(list(predicts), fq, opts)
+
+
 def stream_chop_with_predicts(
     all_predicts: dict[str, Predict],
     fq_path: str | Path,

@@ -1,5 +1,11 @@
 """Host data pipeline: FASTQ parsing, tokenizer-contract encoding, bucketing."""
 
+from .assembly import (
+    collect_and_split_dataset,
+    collect_and_split_dataset_multi,
+    collect_and_split_dataset_with_natural_terminal_adapters,
+    collect_and_split_dataset_with_natural_terminal_adapters_and_both_adapters,
+)
 from .bucketing import (
     Batch,
     EncodedRead,
@@ -19,6 +25,10 @@ from .tensor_encoder import (
 )
 
 __all__ = [
+    "collect_and_split_dataset",
+    "collect_and_split_dataset_multi",
+    "collect_and_split_dataset_with_natural_terminal_adapters",
+    "collect_and_split_dataset_with_natural_terminal_adapters_and_both_adapters",
     "FqEncoderOption",
     "RecordData",
     "TensorEncoder",

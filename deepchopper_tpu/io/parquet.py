@@ -124,6 +124,50 @@ def write_parquet(records: list[dict], path: str | Path) -> None:
     pq.write_table(pa.Table.from_pylist(records, schema=_arrow_schema()), path)
 
 
+def write_predicts(
+    dataset: str | Path,
+    output_fq_path: str | Path,
+    predicts: list,
+    smooth_window_size: int = 1,
+    min_interval_size: int = 1,
+    approved_interval_number: int = 0,
+) -> None:
+    """Chop a parquet dataset using externally supplied per-base labels and
+    write a bgzf FASTQ (reference: src/python.rs:710-782).
+
+    `predicts[i]` is the per-base 0/1 label vector for row i of the parquet
+    dataset ({id, seq, qual} columns); labels are smoothed with
+    `smooth_label_region` before splitting. Quals are stored as Phred ints and
+    re-offset to ascii (+33) on output.
+    """
+    import pyarrow.parquet as pq
+
+    from ..ops.labels import smooth_label_region
+    from .chop import split_records_by_remove_interval
+    from .fastq import write_fq_parallel
+
+    table = pq.read_table(dataset, columns=["id", "seq", "qual"])
+    ids = table.column("id").to_pylist()
+    seqs = table.column("seq").to_pylist()
+    quals = table.column("qual").to_pylist()
+
+    records = []
+    for i, (rid, seq, qual) in enumerate(zip(ids, seqs, quals)):
+        labels = np.asarray(predicts[i], dtype=np.int8)
+        intervals = smooth_label_region(
+            labels, smooth_window_size, min_interval_size, approved_interval_number
+        )
+        qual_bytes = (np.asarray(qual, dtype=np.int64) + default.QUAL_OFFSET).astype(
+            np.uint8
+        ).tobytes()
+        records.extend(
+            split_records_by_remove_interval(
+                seq, rid, qual_bytes, intervals, default.MIN_CHOPED_SEQ_LEN, id_annotation=False
+            )
+        )
+    write_fq_parallel(records, output_fq_path)
+
+
 def extract_records_by_ids(fq_path: str | Path, ids: list[str]) -> list:
     """(reference: src/output/extract.rs:9-26)"""
     from .fastq import StreamingFastqReader

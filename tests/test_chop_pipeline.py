@@ -127,3 +127,58 @@ class TestRunChop:
             ChopOptions(output_prefix=str(tmp_path / "mychop")),
         )
         assert stats.output_file.startswith(str(tmp_path / "mychop"))
+
+
+class TestSimpleSplitAndWritePredicts:
+    def test_split_records_by_remove_interval_no_passthrough(self):
+        from deepchopper_tpu.io.chop import split_records_by_remove_interval
+
+        seq = b"A" * 100 + b"G" * 20 + b"C" * 100
+        qual = b"I" * 220
+        out = split_records_by_remove_interval(seq, "r", qual, [(100, 120)], 20)
+        # internal chop: two parts, annotated |I (reference: src/output/split.rs:228-257)
+        assert [r.id for r in out] == ["r|0:100|I", "r|120:219|I"]
+        out2 = split_records_by_remove_interval(
+            seq, "r", qual, [(100, 120)], 20, id_annotation=False
+        )
+        assert [r.id for r in out2] == ["r|0:100", "r|120:219"]
+        # unlike the passthrough variant, whole-span parts are still emitted;
+        # empty intervals keep the full span with no end trim
+        # (reference: src/output/split.rs:267-270)
+        out3 = split_records_by_remove_interval(seq, "r", qual, [], 20)
+        assert [r.id for r in out3] == ["r|0:220|T"]
+
+    def test_write_predicts_round_trip(self, tmp_path):
+        from deepchopper_tpu.io.parquet import write_parquet, write_predicts
+
+        seq = "A" * 100 + "G" * 30 + "C" * 100
+        rows = [
+            {
+                "id": "read1",
+                "seq": seq,
+                "qual": [20] * len(seq),
+                "target": [0, 0],
+            }
+        ]
+        ds = tmp_path / "ds.parquet"
+        write_parquet(rows, ds)
+        labels = [0] * 100 + [1] * 30 + [0] * 100
+        out = tmp_path / "chopped.fq.gz"
+        write_predicts(ds, out, [labels], 1, 1, 20)
+        recs = read_fastq_records(out)
+        assert [r.id for r in recs] == ["read1|0:100", "read1|130:229"]
+        assert recs[0].seq == b"A" * 100
+        assert recs[1].seq == b"C" * 99  # trailing-base trim quirk
+        assert recs[0].qual == bytes([20 + 33]) * 100
+
+    def test_predict_cli_end_to_end(self, tmp_path, eval_predicts, monkeypatch):
+        from deepchopper_tpu.chop import predict_cli
+
+        monkeypatch.chdir(tmp_path)
+        fq = tmp_path / "sample.fq"
+        write_fq(_fastq_from_predicts(eval_predicts), fq)
+        stats = predict_cli(
+            ["/root/reference/tests/data/eval"], fq, output_prefix=str(tmp_path / "cli")
+        )
+        assert stats.total_fq_count == len(eval_predicts)
+        assert stats.output_file.endswith("record.chop.fq.gz")
