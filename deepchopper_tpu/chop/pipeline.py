@@ -71,6 +71,7 @@ def _select_intervals_batch(
     (reference: src/smooth/predict.rs:186-209) but smooths the whole chunk in
     one vectorized pass.
     """
+    from .. import native
     from ..ops.labels import majority_voting_batch
 
     if not predicts:
@@ -81,9 +82,10 @@ def _select_intervals_batch(
     for i, p in enumerate(predicts):
         mat[i, : lengths[i]] = p.prediction
     smoothed = majority_voting_batch(mat, lengths, opts.smooth_window_size)
+    regions_fn = native.label_regions if native.available() else get_label_region
     out: list[list[tuple[int, int]]] = []
-    for i, p in enumerate(predicts):
-        regions = get_label_region(smoothed[i, : lengths[i]])
+    for i in range(len(predicts)):
+        regions = regions_fn(smoothed[i, : lengths[i]])
         kept = [(s, e) for (s, e) in regions if e - s >= opts.min_interval_size]
         if len(kept) > opts.approved_interval_number:
             kept = []

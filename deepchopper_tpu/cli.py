@@ -25,6 +25,11 @@ def _add_predict(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--model", "-m", default="rna002", help="Model name (rna002, rna004, or registry name)")
     p.add_argument("--checkpoint", type=Path, default=None, help="Native checkpoint path")
     p.add_argument("--torch-checkpoint", type=Path, default=None, help="Reference torch checkpoint to convert")
+    p.add_argument(
+        "--random-init",
+        action="store_true",
+        help="Run with UNTRAINED weights (tests/benchmarks only; otherwise missing weights are a hard error)",
+    )
     p.add_argument("--max-sample", type=int, default=None)
     p.add_argument("--limit-batches", type=int, default=None)
     p.add_argument("--max-length", type=int, default=32768)
@@ -54,6 +59,9 @@ def _add_chop(sub: argparse._SubParsersAction) -> None:
 def _add_misc(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("web", help="Launch the web UI")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--checkpoint", type=Path, default=None, help="Native checkpoint path")
+    p.add_argument("--torch-checkpoint", type=Path, default=None, help="Reference torch checkpoint to convert")
+    p.add_argument("--random-init", action="store_true", help="Run with UNTRAINED weights (demo only)")
 
     p = sub.add_parser("encode", help="Encode FASTQ(s) to parquet datasets")
     p.add_argument("paths", type=Path, nargs="+")
@@ -149,10 +157,18 @@ def cmd_predict(args: argparse.Namespace) -> int:
         print(f"Error: data path '{args.data_path}' does not exist.", file=sys.stderr)
         return 1
 
-    if args.checkpoint is not None:
-        bundle = DeepChopper.from_checkpoint(args.checkpoint, DeepChopper.PRETRAINED_ALIASES.get(args.model, args.model))
-    else:
-        bundle = DeepChopper.from_pretrained(args.model, torch_checkpoint=args.torch_checkpoint)
+    try:
+        if args.checkpoint is not None:
+            bundle = DeepChopper.from_checkpoint(
+                args.checkpoint, DeepChopper.PRETRAINED_ALIASES.get(args.model, args.model)
+            )
+        else:
+            bundle = DeepChopper.from_pretrained(
+                args.model, torch_checkpoint=args.torch_checkpoint, random_init=args.random_init
+            )
+    except FileNotFoundError as exc:
+        print(f"Error: {exc}", file=sys.stderr)
+        return 1
 
     engine = PredictEngine(
         bundle,
@@ -212,7 +228,12 @@ def cmd_web(args: argparse.Namespace) -> int:
     except ImportError as exc:
         print(f"web UI unavailable: {exc}", file=sys.stderr)
         return 1
-    launch(port=args.port)
+    launch(
+        port=args.port,
+        checkpoint=args.checkpoint,
+        torch_checkpoint=args.torch_checkpoint,
+        random_init=args.random_init,
+    )
     return 0
 
 

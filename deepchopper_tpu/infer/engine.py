@@ -72,6 +72,9 @@ class PredictEngine:
         multi-GPU Lightning predict, deepchopper/cli.py:127-135). Outputs stay
         replicated (labels are tiny); per-host shard naming is handled by
         `predict_file(rank=jax.process_index())`."""
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.bundle = bundle
         self.max_length = max_length
         self.tokens_per_batch = tokens_per_batch

@@ -187,16 +187,20 @@ class DeepChopper:
         return dataclasses.replace(bundle, params=params)
 
     @staticmethod
-    def from_pretrained(model_name: str, torch_checkpoint: str | Path | None = None) -> ModelBundle:
-        """Load pretrained weights.
+    def from_pretrained(
+        model_name: str,
+        torch_checkpoint: str | Path | None = None,
+        random_init: bool = False,
+    ) -> ModelBundle:
+        """Load pretrained weights (reference: dc_hg.py `from_pretrained`).
 
         With no network egress, pass `torch_checkpoint` pointing at a local
         torch state_dict / HF snapshot of the reference checkpoint; it is
-        converted to a JAX pytree via `models.convert`. Without one, returns
-        fresh-initialized weights with a warning.
+        converted to a JAX pytree via `models.convert`. When no checkpoint can
+        be found this is a HARD ERROR — silent random weights produce garbage
+        predictions. Pass `random_init=True` (CLI: `--random-init`) only for
+        tests/benchmarks.
         """
-        import logging
-
         name = DeepChopper.PRETRAINED_ALIASES.get(model_name, model_name)
         bundle = DeepChopper.new(name)
         if torch_checkpoint is not None:
@@ -204,12 +208,19 @@ class DeepChopper:
 
             params = convert_torch_state_dict(torch_checkpoint, bundle.params)
             return dataclasses.replace(bundle, params=params)
-        logging.getLogger(__name__).warning(
-            "no local torch checkpoint provided for %s; using random init "
-            "(network egress is unavailable in this environment)",
-            model_name,
+        if random_init:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "random_init=True: %s is using UNTRAINED weights", model_name
+            )
+            return bundle
+        raise FileNotFoundError(
+            f"no pretrained weights available for {model_name!r}: this environment has "
+            "no network egress, so pass --torch-checkpoint <path to the reference torch "
+            "state_dict / HF snapshot> or --checkpoint <native checkpoint>. "
+            "Use --random-init to run with untrained weights (tests/benchmarks only)."
         )
-        return bundle
 
     @staticmethod
     def to_checkpoint(bundle: ModelBundle, path: str | Path) -> None:

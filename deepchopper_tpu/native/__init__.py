@@ -34,17 +34,29 @@ _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
-def _lib_path() -> Path:
-    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+_BASE_FLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC"]
+
+
+def _lib_path(tag: str = "") -> Path:
+    digest = hashlib.sha256(_SRC.read_bytes() + tag.encode()).hexdigest()[:16]
     return _SRC.parent / f"_host_ops_{digest}.so"
 
 
-def _build(out: Path) -> None:
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        str(_SRC), "-o", str(out), "-lz", "-lpthread",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+def _build() -> Path:
+    """Compile the library, preferring -march=native but falling back to a
+    portable build (the cache file name is keyed on source hash + flag set, so
+    machines with different compilers never collide)."""
+    for extra in (["-march=native"], []):
+        out = _lib_path(tag=",".join(extra))
+        if out.exists():
+            return out
+        cmd = ["g++", *_BASE_FLAGS, *extra, str(_SRC), "-o", str(out), "-lz", "-lpthread"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            return out
+        except subprocess.CalledProcessError as exc:
+            log.debug("native build with flags %s failed: %s", extra, exc.stderr)
+    raise RuntimeError("g++ could not build host_ops.cpp")
 
 
 def _bind(lib: ctypes.CDLL) -> None:
@@ -89,9 +101,7 @@ def get_lib() -> ctypes.CDLL | None:
         if _LIB is not None or _TRIED:
             return _LIB
         try:
-            path = _lib_path()
-            if not path.exists():
-                _build(path)
+            path = _build()
             lib = ctypes.CDLL(str(path))
             _bind(lib)
             _LIB = lib
@@ -173,10 +183,13 @@ def majority_vote_batch(labels: np.ndarray, lengths: np.ndarray, window: int,
     return out
 
 
-def label_regions(labels: np.ndarray, max_regions: int = 1 << 16) -> list[tuple[int, int]]:
+def label_regions(labels: np.ndarray, max_regions: int | None = None) -> list[tuple[int, int]]:
     lib = get_lib()
     assert lib is not None
     labels = np.ascontiguousarray(labels, dtype=np.int8)
+    if max_regions is None:
+        # A 0/1 vector of length n has at most n//2 + 1 maximal 1-runs.
+        max_regions = labels.size // 2 + 1
     out = np.empty(2 * max_regions, np.int64)
     n = lib.label_regions(labels, labels.size, out, max_regions)
     return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]

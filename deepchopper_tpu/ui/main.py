@@ -65,7 +65,12 @@ def predict_record(
     }
 
 
-def launch(port: int = 7860) -> None:  # pragma: no cover - needs gradio
+def launch(
+    port: int = 7860,
+    checkpoint: str | None = None,
+    torch_checkpoint: str | None = None,
+    random_init: bool = False,
+) -> None:  # pragma: no cover - needs gradio
     try:
         import gradio as gr
     except ImportError as exc:
@@ -76,7 +81,12 @@ def launch(port: int = 7860) -> None:  # pragma: no cover - needs gradio
 
     from ..models.registry import DeepChopper
 
-    bundle = DeepChopper.from_pretrained("rna002")
+    if checkpoint is not None:
+        bundle = DeepChopper.from_checkpoint(checkpoint, "rna002")
+    else:
+        bundle = DeepChopper.from_pretrained(
+            "rna002", torch_checkpoint=torch_checkpoint, random_init=random_init
+        )
 
     def _run(text: str):
         try:

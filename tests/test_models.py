@@ -152,8 +152,14 @@ class TestRegistryAndCheckpoints:
         for a, b in zip(flat1, flat2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
-    def test_from_pretrained_without_ckpt_warns_and_inits(self):
-        bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen")
+    def test_from_pretrained_without_ckpt_is_hard_error(self):
+        # Silent random init produced garbage predictions; it must raise now
+        # unless random_init is explicitly requested.
+        with pytest.raises(FileNotFoundError, match="random-init"):
+            DeepChopper.from_pretrained("hyenadna-tiny-1k-seqlen")
+
+    def test_from_pretrained_random_init_escape_hatch(self):
+        bundle = DeepChopper.from_pretrained("hyenadna-tiny-1k-seqlen", random_init=True)
         ids = jnp.zeros((1, 64), jnp.int32)
         quals = jnp.zeros((1, 64), jnp.float32)
         assert bundle.apply(ids, quals).shape == (1, 64, 2)
