@@ -1,10 +1,13 @@
-"""Benchmark: single-chip predict throughput on the flagship model.
+"""Benchmark: single-chip fused predict+chop throughput on the flagship model.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference documents 10-30 min for 1M reads on a single GPU
 (reference: docs/faq.md:81) -> ~833 reads/s midpoint. vs_baseline is measured
 reads/s divided by that.
+
+Also writes BENCH_PROFILE.json beside this script with the host/device stage
+breakdown (capability of the reference's scripts/measure.sh perf harness).
 """
 
 from __future__ import annotations
@@ -36,9 +39,13 @@ def main() -> int:
     n_reads = int(os.environ.get("BENCH_READS", "3000"))
 
     from deepchopper_tpu.chop import ChopOptions
-    from deepchopper_tpu.chop.pipeline import stream_chop_with_predicts
     from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.infer.fused import fused_predict_chop
     from deepchopper_tpu.models.registry import DeepChopper
+    from deepchopper_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
+    print(f"# persistent compile cache: {cache_dir}", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as tmp:
         fq = Path(tmp) / "bench.fq"
@@ -52,14 +59,17 @@ def main() -> int:
             return_labels=True,
         )
 
-        # Precompile every bucket shape so the timed region is compile-free.
+        # Precompile every bucket shape so the timed region is compile-free
+        # (served from the persistent cache after the first run on a machine).
         compile_s = engine.warmup()
-        print(f"# warmup compiled {len(engine.buckets)} buckets in {compile_s:.1f}s", file=sys.stderr)
+        print(
+            f"# warmup compiled {len(engine.buckets)} buckets in {compile_s:.1f}s",
+            file=sys.stderr,
+        )
 
         t0 = time.monotonic()
-        predicts = engine.predict_to_predicts(fq)
         opts = ChopOptions(output_prefix=str(Path(tmp) / "bench_out"))
-        stats = stream_chop_with_predicts(predicts, fq, opts)
+        stats = fused_predict_chop(engine, fq, opts)
         elapsed = time.monotonic() - t0
 
         reads_per_s = n_reads / elapsed
@@ -73,11 +83,27 @@ def main() -> int:
                 }
             )
         )
-        print(
-            f"# {n_reads} reads in {elapsed:.2f}s end-to-end (predict+chop); "
-            f"output {stats.total_output_count} records; compile excluded via warmup",
-            file=sys.stderr,
+        profile = {
+            "n_reads": n_reads,
+            "elapsed_s": round(elapsed, 3),
+            "reads_per_s": round(reads_per_s, 1),
+            "tokens": int(engine.stats.tokens),
+            "tokens_per_s": round(engine.stats.tokens / elapsed, 0),
+            "warmup_compile_s": round(compile_s, 1),
+            "n_buckets": len(engine.buckets),
+            "stage_breakdown_s": {
+                "host_encode": round(stats.encode_s, 3),
+                "device_wait": round(stats.device_s, 3),
+                "smooth_extract": round(stats.smooth_s, 3),
+                "chop_write": round(stats.chop_write_s, 3),
+            },
+            "output_records": stats.total_output_count,
+            "peak_rss_mb": round(stats.peak_rss_bytes / 1e6, 1),
+        }
+        Path(__file__).with_name("BENCH_PROFILE.json").write_text(
+            json.dumps(profile, indent=1) + "\n"
         )
+        print(f"# profile: {json.dumps(profile)}", file=sys.stderr)
     return 0
 
 

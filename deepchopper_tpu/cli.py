@@ -178,10 +178,23 @@ def cmd_predict(args: argparse.Namespace) -> int:
         return_labels=args.fused_chop,
     )
     if args.fused_chop:
-        predicts = engine.predict_to_predicts(args.data_path, max_samples=args.max_sample)
-        from .chop.pipeline import stream_chop_with_predicts
+        from . import native
+        from .infer.fused import fused_predict_chop
 
-        stats = stream_chop_with_predicts(predicts, args.fq or args.data_path, ChopOptions())
+        if args.fq is not None and args.fq != args.data_path:
+            # The streamed runner predicts and chops the same stream; a
+            # different qualities file needs the two-phase path.
+            predicts = engine.predict_to_predicts(args.data_path, max_samples=args.max_sample)
+            from .chop.pipeline import stream_chop_with_predicts
+
+            stats = stream_chop_with_predicts(predicts, args.fq, ChopOptions())
+        elif native.available():
+            stats = fused_predict_chop(engine, args.data_path, ChopOptions(), max_samples=args.max_sample)
+        else:
+            predicts = engine.predict_to_predicts(args.data_path, max_samples=args.max_sample)
+            from .chop.pipeline import stream_chop_with_predicts
+
+            stats = stream_chop_with_predicts(predicts, args.data_path, ChopOptions())
         print(f"chopped {stats.total_fq_count} reads -> {stats.total_output_count} records -> {stats.output_file}")
     else:
         stats = engine.predict_file(

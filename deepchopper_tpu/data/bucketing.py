@@ -56,14 +56,25 @@ class Batch:
     quals_raw: np.ndarray | None = None  # (B, W) uint8 phred ints (device-norm path)
 
 
+_BUCKET_LADDER = [
+    256, 512, 768, 1024, 1280, 1536, 2048, 2560, 3072, 4096,
+    5120, 6144, 8192, 12288, 16384, 24576, 32768,
+]
+
+
 def default_buckets(max_length: int = 32768, min_width: int = 256) -> list[int]:
-    """Power-of-two bucket widths up to max_length (always included)."""
-    buckets = []
-    w = min_width
-    while w < max_length:
-        buckets.append(w)
-        w *= 2
-    buckets.append(max_length)
+    """Bucket widths up to max_length (always included).
+
+    Fine-grained (multiples of 256) below 8k where most nanopore read lengths
+    land, coarser above — a mean-1200-base read pads to 1280 (~6% waste)
+    instead of the next power of two (2048, ~41% waste). Non-pow2 widths cost
+    nothing extra in the FFT conv: models.hyena.causal_conv zero-pads the FFT
+    to the next pow2 internally, so only the O(L*D) projections/head scale
+    with the true width. Widths stay multiples of 256 for lane alignment.
+    """
+    buckets = [w for w in _BUCKET_LADDER if min_width <= w < max_length]
+    if max_length > (buckets[-1] if buckets else 0):
+        buckets.append(max_length)
     return buckets
 
 

@@ -213,7 +213,7 @@ class PredictEngine:
         for batch in batches:
             b, w = batch.input_ids.shape
             target_b = self._bucket_batch_size(w)
-            ids8 = batch.input_ids.astype(np.int8)  # vocab ids are < 128
+            ids8 = batch.input_ids.astype(np.int8, copy=False)  # vocab ids are < 128
             if batch.quals_raw is None:
                 raise ValueError("engine requires batches with quals_raw (see pad_batch)")
             quals8 = batch.quals_raw

@@ -106,16 +106,28 @@ def causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, impl: str) ->
                       to matmul_fft when off-TPU or the length is unsupported.
       "matmul_fft"  — XLA four-step Cooley-Tukey on the MXU (ops/fft.py).
       "fft"         — stock jnp.fft (any length).
+
+    Non-power-of-two lengths zero-pad v and k up to the next power of two and
+    slice the result back: the FFT runs at the same size it would for the next
+    pow2 bucket, while every other op in the network (projections, gating,
+    head) runs at the smaller true width — this is what makes fine-grained
+    (non-pow2) sequence buckets profitable on TPU.
     """
     seq_len = v.shape[1]
-    pow2 = (2 * seq_len) & (2 * seq_len - 1) == 0
-    if impl == "pallas_fft" and pow2:
-        from ..ops import pallas_fft
+    if impl in ("pallas_fft", "matmul_fft"):
+        padded = 1 << (seq_len - 1).bit_length()  # next pow2 (identity if pow2)
+        if padded != seq_len:
+            v_p = jnp.pad(v, ((0, 0), (0, padded - seq_len), (0, 0)))
+            k_p = jnp.pad(k, ((0, padded - seq_len), (0, 0)))
+            # Bias term uses the original (unpadded) v; the conv slice is exact
+            # because outputs < seq_len only touch taps/inputs < seq_len.
+            y = causal_conv(v_p, k_p, jnp.zeros_like(bias), impl)[:, :seq_len]
+            return y + v.astype(jnp.float32) * bias[None, None, :]
+        if impl == "pallas_fft":
+            from ..ops import pallas_fft
 
-        if 2 * seq_len >= pallas_fft.MIN_N and jax.default_backend() == "tpu":
-            return pallas_fft.fft_causal_conv_pallas(v, k, bias)
-        impl = "matmul_fft"
-    if impl in ("matmul_fft", "pallas_fft") and pow2:
+            if 2 * seq_len >= pallas_fft.MIN_N and jax.default_backend() == "tpu":
+                return pallas_fft.fft_causal_conv_pallas(v, k, bias)
         from ..ops.fft import fft_causal_conv_matmul
 
         return fft_causal_conv_matmul(v, k, bias)

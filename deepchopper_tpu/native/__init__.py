@@ -71,6 +71,13 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.normalize_seq_inplace.restype = None
     lib.normalize_seq_inplace.argtypes = [_u8p, ctypes.c_longlong]
+    lib.encode_spans_batch.restype = None
+    lib.encode_spans_batch.argtypes = [
+        _u8p, _i64p, _i64p,
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int,
+        _i8p, _u8p, _i32p, ctypes.c_int, ctypes.c_int,
+    ]
     lib.majority_vote_batch.restype = None
     lib.majority_vote_batch.argtypes = [
         _i8p, _i8p, _i64p,
@@ -167,6 +174,41 @@ def encode_read(seq: bytes | np.ndarray, qual: bytes | np.ndarray | None,
     lib.encode_read(np.ascontiguousarray(seq), np.ascontiguousarray(qual), n,
                     ids, quals, qual_offset)
     return ids, quals
+
+
+def encode_spans_batch(
+    buf: np.ndarray,
+    spans: np.ndarray,
+    rows: np.ndarray,
+    width: int,
+    max_len: int,
+    sep_token: int,
+    pad_token: int,
+    qual_offset: int = 33,
+    threads: int | None = None,
+    out: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Encode `rows` of a span table into one padded batch.
+
+    Returns (ids int8 (B, width), quals uint8 (B, width), lengths int32 (B,)).
+    Pass `out` to fill a pre-allocated slice (cross-chunk batch assembly).
+    """
+    lib = get_lib()
+    assert lib is not None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    b = rows.size
+    if out is None:
+        ids = np.empty((b, width), np.int8)
+        quals = np.empty((b, width), np.uint8)
+        lengths = np.empty(b, np.int32)
+    else:
+        ids, quals, lengths = out
+    lib.encode_spans_batch(
+        buf, np.ascontiguousarray(spans.reshape(-1), np.int64), rows,
+        b, width, max_len, sep_token, pad_token,
+        ids, quals, lengths, qual_offset, threads or os.cpu_count() or 1,
+    )
+    return ids, quals, lengths
 
 
 def majority_vote_batch(labels: np.ndarray, lengths: np.ndarray, window: int,

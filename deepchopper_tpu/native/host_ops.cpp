@@ -141,6 +141,73 @@ void normalize_seq_inplace(uint8_t* seq, long long n) {
   }
 }
 
+// normalize-then-tokenize in one step: matches the Python pipeline's
+// normalize_seq (U->T, other->N) followed by the char-tokenizer LUT
+// (ops/sequence.py _NORM_LUT + _TOKEN_LUT), so A=7 C=8 G=9 T=U=10, else N=11.
+static int8_t norm_token(uint8_t c) {
+  switch (c & 0xDF) {  // uppercase fold for ASCII letters
+    case 'A': return 7;
+    case 'C': return 8;
+    case 'G': return 9;
+    case 'T': return 10;
+    case 'U': return 10;
+    default: return 11;
+  }
+}
+
+// Batched encode of FASTQ record spans straight into one padded (b, width)
+// device-feed batch — the whole-chunk replacement for per-read Python
+// encode_read (hot path of predict; reference counterpart is the HF `.map`
+// tokenize stage, deepchopper/models/llm/tokenizer.py:121-142).
+//
+//   spans: (n, 8) table from fq_index over `buf`
+//   rows:  b indices into spans selecting this batch's reads
+// For read i with seq length L: t = min(L, max_len - 1, width - 1);
+//   ids[i, :t]  = norm_token(seq), ids[i, t] = sep_token, rest pad_token
+//   quals[i, :t] = clamp(qual - qual_offset, 0, 255), rest 0
+//   lengths[i]  = t + 1 (valid tokens incl. SEP — the contract of
+//                 data/bucketing.pad_batch)
+void encode_spans_batch(const uint8_t* buf, const int64_t* spans,
+                        const int64_t* rows, long long b, long long width,
+                        long long max_len, int sep_token, int pad_token,
+                        int8_t* ids_out, uint8_t* quals_out,
+                        int32_t* lengths_out, int qual_offset, int threads) {
+  auto run_rows = [&](long long i0, long long i1) {
+    for (long long i = i0; i < i1; ++i) {
+      const int64_t* sp = spans + rows[i] * 8;
+      const uint8_t* seq = buf + sp[2];
+      const uint8_t* qual = buf + sp[4];
+      long long t = sp[3];
+      if (t > max_len - 1) t = max_len - 1;
+      if (t > width - 1) t = width - 1;
+      int8_t* ids = ids_out + i * width;
+      uint8_t* qs = quals_out + i * width;
+      for (long long k = 0; k < t; ++k) ids[k] = norm_token(seq[k]);
+      ids[t] = static_cast<int8_t>(sep_token);
+      memset(ids + t + 1, pad_token, width - t - 1);
+      for (long long k = 0; k < t; ++k) {
+        int v = static_cast<int>(qual[k]) - qual_offset;
+        qs[k] = static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+      memset(qs + t, 0, width - t);
+      lengths_out[i] = static_cast<int32_t>(t + 1);
+    }
+  };
+  if (threads <= 1 || b < 4) {
+    run_rows(0, b);
+    return;
+  }
+  const int nt = std::min<long long>(threads, b);
+  std::vector<std::thread> pool;
+  const long long per = (b + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    long long r0 = t * per, r1 = std::min<long long>(r0 + per, b);
+    if (r0 >= r1) break;
+    pool.emplace_back(run_rows, r0, r1);
+  }
+  for (auto& th : pool) th.join();
+}
+
 // ---------------------------------------------------------------------------
 // Batched majority vote
 // ---------------------------------------------------------------------------

@@ -42,9 +42,15 @@ def enable_compilation_cache(cache_dir: str | Path | None = None) -> Path | None
         cache_dir = Path.home() / ".cache" / "deepchopper_tpu" / "xla"
     cache_dir = Path(cache_dir)
     try:
-        cache_dir.mkdir(parents=True, exist_ok=True)
         import jax
 
+        # TPU executables are what cost minutes to build; CPU AOT cache
+        # entries are fragile across detected-host-feature drift (XLA warns
+        # about possible SIGILL), so only persist for TPU backends.
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+
+        cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         # Cache every executable, however quick the compile: the per-bucket
         # predict steps are numerous and the one-time disk cost is tiny.

@@ -1,0 +1,97 @@
+"""Streamed fused predict+chop vs the two-phase path: byte-identical output."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+import pytest
+
+from deepchopper_tpu import native
+from deepchopper_tpu.chop import ChopOptions
+from deepchopper_tpu.chop.pipeline import stream_chop_with_predicts
+from deepchopper_tpu.infer import PredictEngine
+from deepchopper_tpu.infer.fused import fused_predict_chop
+from deepchopper_tpu.io.chop import ChopType
+from deepchopper_tpu.models.registry import DeepChopper
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native host ops unavailable")
+
+
+def _write_fastq(path, rng, n=60, min_len=40, max_len=600):
+    with open(path, "wb") as fh:
+        for i in range(n):
+            length = int(rng.integers(min_len, max_len))
+            seq = "".join(rng.choice(list("ACGTN"), length))
+            qual = "".join(chr(c) for c in rng.integers(33, 74, length))
+            fh.write(b"@fused_%d some desc\n%s\n+\n%s\n" % (i, seq.encode(), qual.encode()))
+
+
+@pytest.fixture(scope="module")
+def tiny_engine():
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+    return PredictEngine(
+        bundle,
+        max_length=256,
+        tokens_per_batch=1 << 12,
+        buckets=[64, 128, 256],
+        return_labels=True,
+    )
+
+
+@pytest.mark.parametrize(
+    "opts_kw",
+    [
+        {},
+        {"output_chopped_seqs": True},
+        {"chop_type": ChopType.TERMINAL},
+        {"chop_type": ChopType.INTERNAL},
+        {"min_read_len": 50},
+    ],
+)
+def test_fused_matches_two_phase(tmp_path, tiny_engine, opts_kw):
+    rng = np.random.default_rng(7)
+    fq = tmp_path / "in.fq"
+    # max_len 600 > engine max_length 256 exercises the truncation passthrough
+    _write_fastq(fq, rng, n=60, max_len=600)
+
+    old = ChopOptions(output_prefix=str(tmp_path / "old"), **opts_kw)
+    predicts = tiny_engine.predict_to_predicts(fq)
+    st_old = stream_chop_with_predicts(predicts, fq, old)
+
+    new = ChopOptions(output_prefix=str(tmp_path / "new"), **opts_kw)
+    st_new = fused_predict_chop(tiny_engine, fq, new)
+
+    assert st_new.total_fq_count == st_old.total_fq_count
+    assert st_new.total_output_count == st_old.total_output_count
+    assert st_new.output_file.split("/")[-1].replace("new", "old") == st_old.output_file.split("/")[-1]
+    old_bytes = gzip.open(st_old.output_file, "rb").read()
+    new_bytes = gzip.open(st_new.output_file, "rb").read()
+    assert old_bytes == new_bytes
+
+
+def test_fused_multi_chunk_order(tmp_path, tiny_engine):
+    """Tiny chunk_bytes: output must stay in FASTQ order across chunks."""
+    rng = np.random.default_rng(11)
+    fq = tmp_path / "in2.fq"
+    _write_fastq(fq, rng, n=200, min_len=60, max_len=240)
+
+    old = ChopOptions(output_prefix=str(tmp_path / "old2"))
+    predicts = tiny_engine.predict_to_predicts(fq)
+    st_old = stream_chop_with_predicts(predicts, fq, old)
+
+    new = ChopOptions(output_prefix=str(tmp_path / "new2"))
+    st_new = fused_predict_chop(tiny_engine, fq, new, chunk_bytes=8 << 10)
+
+    assert gzip.open(st_new.output_file, "rb").read() == gzip.open(st_old.output_file, "rb").read()
+
+
+def test_fused_stats_stages(tmp_path, tiny_engine):
+    rng = np.random.default_rng(13)
+    fq = tmp_path / "in3.fq"
+    _write_fastq(fq, rng, n=30)
+    stats = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "s")))
+    assert stats.total_fq_count == 30
+    assert stats.predicts_loaded == 30
+    assert stats.elapsed_s > 0
+    assert stats.device_s >= 0 and stats.smooth_s >= 0 and stats.chop_write_s >= 0
