@@ -152,10 +152,16 @@ def cmd_predict(args: argparse.Namespace) -> int:
     from .chop import ChopOptions, run_chop
     from .infer import PredictEngine
     from .models.registry import DeepChopper
+    from .parallel.mesh import initialize_distributed
 
     if not args.data_path.exists():
         print(f"Error: data path '{args.data_path}' does not exist.", file=sys.stderr)
         return 1
+
+    # Multi-host DP: launcher sets DC_COORDINATOR/DC_NUM_PROCESSES/DC_PROCESS_ID
+    # (one process per host); each host then predicts its interleaved input
+    # shard and writes {rank}_{batch}.npz files merged at chop.
+    initialize_distributed()
 
     try:
         if args.checkpoint is not None:

@@ -54,11 +54,23 @@ def iter_encoded_reads(
     max_length: int = 32768,
     has_targets: bool = True,
     max_samples: int | None = None,
+    shard: tuple[int, int] | None = None,
 ) -> Iterator[EncodedRead]:
-    """Stream tokenizer-contract encoded reads from a FASTQ file."""
+    """Stream tokenizer-contract encoded reads from a FASTQ file.
+
+    `shard=(rank, count)` keeps only reads whose index % count == rank —
+    per-host input sharding for multi-host data-parallel predict (the
+    reference's DDP sampler does this implicitly; per-rank outputs merge at
+    the chop stage, reference: deepchopper/models/callbacks.py:25).
+    """
+    rank, count = shard or (0, 1)
+    taken = 0
     for i, rec in enumerate(parse_fastq_file(file_path, has_targets)):
-        if max_samples is not None and i >= max_samples:
+        if count > 1 and i % count != rank:
+            continue
+        if max_samples is not None and taken >= max_samples:
             return
+        taken += 1
         yield encode_read(rec["id"], rec["seq"], rec["qual"], rec["target"], max_length)
 
 
@@ -70,10 +82,11 @@ def iter_batches(
     has_targets: bool = True,
     max_samples: int | None = None,
     max_batch: int = 512,
+    shard: tuple[int, int] | None = None,
 ) -> Iterator[Batch]:
     """FASTQ -> fixed-shape batches, streaming."""
     yield from bucketed_batches(
-        iter_encoded_reads(file_path, max_length, has_targets, max_samples),
+        iter_encoded_reads(file_path, max_length, has_targets, max_samples, shard),
         buckets=buckets,
         tokens_per_batch=tokens_per_batch,
         max_batch=max_batch,

@@ -253,14 +253,26 @@ class PredictEngine:
         self,
         fq_path: str | Path,
         output_dir: str | Path,
-        rank: int = 0,
+        rank: int | None = None,
         dataloader_idx: int = 0,
         max_samples: int | None = None,
         limit_batches: int | None = None,
+        shard: tuple[int, int] | None = None,
     ) -> PredictStats:
-        """Predict a FASTQ and write `.npz` shards with the chop contract."""
+        """Predict a FASTQ and write `.npz` shards with the chop contract.
+
+        Multi-host DP: `rank` defaults to `jax.process_index()` and `shard`
+        defaults to (process_index, process_count), so each host reads its own
+        interleaved slice of the FASTQ and writes `{rank}_{batch}.npz` shards
+        that the chop stage merges (reference contract:
+        deepchopper/models/callbacks.py:25, cli.py:181).
+        """
         from ..io.predicts import write_prediction_shard
 
+        if rank is None:
+            rank = jax.process_index()
+        if shard is None and jax.process_count() > 1:
+            shard = (jax.process_index(), jax.process_count())
         out = Path(output_dir) / str(dataloader_idx)
         out.mkdir(parents=True, exist_ok=True)
         batches = iter_batches(
@@ -270,6 +282,7 @@ class PredictEngine:
             buckets=self.buckets,
             max_samples=max_samples,
             max_batch=self.max_batch,
+            shard=shard,
         )
         for i, (batch, outputs) in enumerate(self.predict_batches(batches)):
             if limit_batches is not None and i >= limit_batches:

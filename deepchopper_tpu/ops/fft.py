@@ -70,8 +70,14 @@ def _fft_core(
     ai = xi.reshape(*xi.shape[:-1], n2, n1) if xi is not None else None
 
     # Step 1: contract j2 -> B[k2, j1]  (einsum jk,...ji->...ki).
+    # Precision note: TPU matmuls default to bf16 passes (rel err ~5e-3 on the
+    # assembled FFT — enough to flip argmax at near-tie logits). "float32"
+    # (3-pass) costs only ~18% more here and lands at ~2e-7.
     def mm_j2(m, a):
-        return jnp.einsum("jk,...ji->...ki", m, a, preferred_element_type=jnp.float32)
+        return jnp.einsum(
+            "jk,...ji->...ki", m, a,
+            preferred_element_type=jnp.float32, precision="float32",
+        )
 
     br = mm_j2(c2, ar)
     bi = mm_j2(s2, ar)
@@ -85,7 +91,10 @@ def _fft_core(
 
     # Step 3: contract j1 -> C[k2, k1]  (einsum il,...ki->...kl).
     def mm_j1(m, a):
-        return jnp.einsum("il,...ki->...kl", m, a, preferred_element_type=jnp.float32)
+        return jnp.einsum(
+            "il,...ki->...kl", m, a,
+            preferred_element_type=jnp.float32, precision="float32",
+        )
 
     cr = mm_j1(c1, tr) - mm_j1(s1, ti)
     ci = mm_j1(s1, tr) + mm_j1(c1, ti)

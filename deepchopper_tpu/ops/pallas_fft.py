@@ -169,8 +169,11 @@ def _conv_kernel(
 
     def rmm(a, m):
         # (B, n2, X) @ (X, Y) -> (B, n2, Y): right-mult, contracts the lane dim.
+        # precision="float32": MXU bf16-pass default gives rel err ~5e-3 on the
+        # assembled conv; 3-pass f32 costs ~5% and lands at ~2e-7.
         return jax.lax.dot_general(
-            a, m, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, m, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="float32",
         )
 
     def lmm(m, a):
@@ -178,7 +181,8 @@ def _conv_kernel(
         # contracts the MIDDLE axis without any transpose.
         mb = jnp.broadcast_to(m, (b, *m.shape))
         return jax.lax.dot_general(
-            mb, a, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            mb, a, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision="float32",
         )
 
     # Forward stage 1: contract j2 over the non-padded half (left-mult).

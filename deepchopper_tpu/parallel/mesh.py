@@ -58,18 +58,34 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def initialize_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+def initialize_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
     """Initialize multi-host JAX (reference capability: Lightning DDP init).
 
-    No-op for single-process runs; on a pod slice, pass coordinator address or
-    rely on the TPU environment auto-detection.
+    Arguments fall back to the `DC_COORDINATOR` / `DC_NUM_PROCESSES` /
+    `DC_PROCESS_ID` environment variables (set by the launcher, one process
+    per host), and on a pod slice plain `jax.distributed.initialize()`
+    auto-detection applies. Returns True when a multi-process runtime was
+    initialized. No-op (False) for single-process runs.
     """
+    import os
+
+    coordinator = coordinator or os.environ.get("DC_COORDINATOR")
+    if num_processes is None and os.environ.get("DC_NUM_PROCESSES"):
+        num_processes = int(os.environ["DC_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("DC_PROCESS_ID"):
+        process_id = int(os.environ["DC_PROCESS_ID"])
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
+        return True
+    return False
 
 
 def process_shard_info() -> tuple[int, int]:
