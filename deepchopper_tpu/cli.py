@@ -117,6 +117,12 @@ def _add_misc(sub: argparse._SubParsersAction) -> None:
     t.add_argument("replacement", type=Path)
     t.add_argument("output", type=Path)
 
+    t = tsub.add_parser("replacebam", help="Swap internal-chopped records between BAMs")
+    t.add_argument("--dcbam", type=Path, required=True, help="DeepChopper-processed BAM")
+    t.add_argument("--dobam", type=Path, required=True, help="Original BAM")
+    t.add_argument("--output", "-o", type=Path, required=True)
+    t.add_argument("--threads", "-t", type=int, default=4)
+
     t = tsub.add_parser("psl-top1", help="Top-1 identity summary of a PSL file")
     t.add_argument("psl", type=Path)
 
@@ -326,6 +332,9 @@ def cmd_tools(args: argparse.Namespace) -> int:
     elif args.tool == "replacefq":
         n = tools.replacefq(args.target, args.replacement, args.output)
         print(f"replaced {n} records -> {args.output}")
+    elif args.tool == "replacebam":
+        n = tools.replacebam(args.dcbam, args.dobam, args.output, args.threads)
+        print(f"replaced {n} internal records -> {args.output}")
     elif args.tool == "psl-top1":
         print(tools.psl_top1_summary(args.psl))
     elif args.tool == "encode-smoke":

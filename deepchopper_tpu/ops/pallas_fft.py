@@ -236,9 +236,20 @@ def fft_causal_conv_pallas(
 
     h = n2 // 2
     v32 = v.astype(jnp.float32)
+
+    # Tile the batch so each grid step's VMEM working set stays bounded:
+    # the kernel holds ~6 (bt, n2, n1) f32 intermediates plus 3-pass matmul
+    # scratch, so cap bt*n at 64k elements (f32[512-row, n=512] batches blew
+    # the 16MB scoped-vmem limit once f32-precision dots landed).
+    bt = max(1, min(batch, 65536 // n))
+    padded_batch = ((batch + bt - 1) // bt) * bt
+    if padded_batch != batch:
+        v32 = jnp.pad(v32, ((0, padded_batch - batch), (0, 0), (0, 0)))
+    nb = padded_batch // bt
+
     # (D, B, h, n1): the digit split is pre-shaped host-side (free row-major
     # view) because Mosaic rejects in-kernel reshapes to lane dims < 128.
-    vt = jnp.moveaxis(v32, -1, 0).reshape(d_model, batch, h, n1)
+    vt = jnp.moveaxis(v32, -1, 0).reshape(d_model, padded_batch, h, n1)
     kr, ki = khat_scrambled(k, n, bias)  # (D, n2, n1) each
 
     t = _tables(n)
@@ -247,28 +258,31 @@ def fft_causal_conv_pallas(
         t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
     ]  # fmt: skip
 
-    per_channel = pl.BlockSpec(
-        (1, batch, h, n1), lambda d: (d, 0, 0, 0), memory_space=pltpu.VMEM
+    per_block = pl.BlockSpec(
+        (1, bt, h, n1), lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM
     )
-    khat_spec = pl.BlockSpec((1, n2, n1), lambda d: (d, 0, 0), memory_space=pltpu.VMEM)
+    khat_spec = pl.BlockSpec((1, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
     table_spec = [
-        pl.BlockSpec(a.shape, lambda d: (0, 0), memory_space=pltpu.VMEM) for a in tables
+        pl.BlockSpec(a.shape, lambda d, b: (0, 0), memory_space=pltpu.VMEM) for a in tables
     ]
 
     # MACs: fwd s1 2*(B*n2*h*n1) + fwd s2 4*(B*n2*n1*n1) + inv s1 4 + inv s2 2.
-    flops_fft = 2 * d_model * batch * n * (n2 // 2 + 4 * n1)
+    flops_fft = 2 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
     out = pl.pallas_call(
         _conv_kernel,
-        grid=(d_model,),
-        in_specs=[per_channel, khat_spec, khat_spec, *table_spec],
-        out_specs=per_channel,
-        out_shape=jax.ShapeDtypeStruct((d_model, batch, h, n1), jnp.float32),
+        # b is the fast axis so each channel's filter/tables stay resident
+        # across its batch tiles.
+        grid=(d_model, nb),
+        in_specs=[per_block, khat_spec, khat_spec, *table_spec],
+        out_specs=per_block,
+        out_shape=jax.ShapeDtypeStruct((d_model, padded_batch, h, n1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops_fft,
-            bytes_accessed=2 * d_model * batch * seq_len * 4,
+            bytes_accessed=2 * d_model * padded_batch * seq_len * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(vt, kr, ki, *[jnp.asarray(a) for a in tables])
 
-    return jnp.moveaxis(out.reshape(d_model, batch, seq_len), 0, -1)  # (B, L, D)
+    y = jnp.moveaxis(out.reshape(d_model, padded_batch, seq_len), 0, -1)  # (B', L, D)
+    return y[:batch]

@@ -261,3 +261,38 @@ def encode_smoke(fq_path: str | Path, max_reads: int = 100) -> dict[str, tuple]:
         shapes[batch.input_ids.shape] += 1
         reads += batch.input_ids.shape[0]
     return {"reads": (reads,), "batch_shapes": tuple(sorted(str(s) for s in shapes))}
+
+
+# ---------------------------------------------------------------------------
+# replacebam (reference: src/bin/replacebam.rs:1-131)
+# ---------------------------------------------------------------------------
+
+
+def replacebam(dcbam: str | Path, dobam: str | Path, output: str | Path, threads: int = 4) -> int:
+    """Swap internal-chopped records from a DeepChopper-processed BAM back
+    into the original BAM.
+
+    Semantics (reference: src/bin/replacebam.rs:33-104): collect records from
+    `dcbam` whose qname contains the character 'I' (internal-chop annotation —
+    the reference matches ANY 'I', a deliberate quirk reproduced here); drop
+    every record in `dobam` whose qname equals one of their base names
+    (text before the first '|'); append the collected records. Output uses
+    `dobam`'s header; record blocks pass through byte-identical. Returns the
+    number of replaced records.
+    """
+    from .io.bam import BamWriter, iter_bam_raw_blocks, read_bam_header
+
+    internal: dict[str, bytes] = {}
+    for qname, _flag, block in iter_bam_raw_blocks(dcbam, threads):
+        if "I" in qname:
+            internal[qname] = block
+    base_names = {q.split("|", 1)[0] for q in internal}
+
+    header = read_bam_header(dobam, threads)
+    with BamWriter(output, header, threads=threads) as writer:
+        for qname, _flag, block in iter_bam_raw_blocks(dobam, threads):
+            if qname not in base_names:
+                writer.write_raw_block(block)
+        for block in internal.values():
+            writer.write_raw_block(block)
+    return len(internal)
