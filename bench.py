@@ -37,6 +37,7 @@ def synth_fastq(path: Path, n_reads: int, seed: int = 0, mean_len: int = 1200) -
 
 def main() -> int:
     n_reads = int(os.environ.get("BENCH_READS", "3000"))
+    tokens_per_batch = int(os.environ.get("BENCH_TOKENS", str(1 << 18)))
 
     from deepchopper_tpu.chop import ChopOptions
     from deepchopper_tpu.infer import PredictEngine
@@ -55,7 +56,7 @@ def main() -> int:
         engine = PredictEngine(
             bundle,
             max_length=32768,
-            tokens_per_batch=1 << 17,
+            tokens_per_batch=tokens_per_batch,
             return_labels=True,
         )
 
@@ -89,6 +90,12 @@ def main() -> int:
             "reads_per_s": round(reads_per_s, 1),
             "tokens": int(engine.stats.tokens),
             "tokens_per_s": round(engine.stats.tokens / elapsed, 0),
+            "padded_tokens": int(engine.stats.padded_tokens),
+            "padding_efficiency": round(
+                engine.stats.tokens / max(engine.stats.padded_tokens, 1), 3
+            ),
+            "device_batches": int(engine.stats.batches),
+            "tokens_per_batch": tokens_per_batch,
             "warmup_compile_s": round(compile_s, 1),
             "n_buckets": len(engine.buckets),
             "stage_breakdown_s": {

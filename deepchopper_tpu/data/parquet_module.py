@@ -164,6 +164,81 @@ class DataModule:
             self._split = ratio_split(n, self.split_train, self.split_val, self.seed)
         return self._split
 
+    def _split_cache_paths(self) -> dict[str, Path]:
+        base = Path(self.train_data_path)
+        tag = f"splits_s{self.seed}_t{self.split_train:g}_v{self.split_val:g}"
+        d = base.parent / f".{base.name}.{tag}"
+        return {w: d / f"{w}.parquet" for w in ("train", "val", "test")}
+
+    def _materialize_splits(self) -> dict[str, Path] | None:
+        """One-time O(n) pass writing per-split parquet files.
+
+        The round-1 implementation re-scanned and re-encoded the WHOLE source
+        for every split, every epoch (O(3n) decode per epoch — fine for
+        fixtures, pathological at cell-line scale). Epochs now read only their
+        own split file. Falls back to in-stream index filtering when the cache
+        directory is not writable.
+        """
+        paths = self._split_cache_paths()
+        if all(p.exists() for p in paths.values()):
+            return paths
+        import pyarrow.parquet as pq
+
+        from ..io.parquet import _arrow_schema
+
+        split = self._get_split()
+        n = sum(len(getattr(split, w)) for w in ("train", "val", "test"))
+        member = np.empty(n, np.int8)
+        for si, w in enumerate(("train", "val", "test")):
+            member[getattr(split, w)] = si
+        try:
+            paths["train"].parent.mkdir(parents=True, exist_ok=True)
+            writers = {}
+            buffers: dict[str, list[dict]] = {w: [] for w in paths}
+            schema = _arrow_schema()
+
+            def flush(w: str) -> None:
+                if not buffers[w]:
+                    return
+                import pyarrow as pa
+
+                if w not in writers:
+                    writers[w] = pq.ParquetWriter(paths[w], schema)
+                writers[w].write_table(pa.Table.from_pylist(buffers[w], schema=schema))
+                buffers[w] = []
+
+            for i, row in enumerate(self._iter_source_rows()):
+                w = ("train", "val", "test")[member[i]]
+                buffers[w].append(row)
+                if len(buffers[w]) >= 10_000:
+                    flush(w)
+            for w in paths:
+                flush(w)
+                if w not in writers:  # empty split still needs a valid file
+                    writers[w] = pq.ParquetWriter(paths[w], schema)
+                writers[w].close()
+            return paths
+        except OSError:
+            for p in paths.values():
+                p.unlink(missing_ok=True)
+            return None
+
+    def _iter_source_rows(self) -> Iterator[dict]:
+        """{id, seq, qual, target} rows from the ratio-split source."""
+        p = Path(self.train_data_path)
+        if _is_fastq(p):
+            from .fastq_module import parse_fastq_file
+
+            for rec in parse_fastq_file(p):
+                yield {
+                    "id": rec["id"],
+                    "seq": rec["seq"],
+                    "qual": np.asarray(rec["qual"]).tolist(),
+                    "target": [v for se in rec["target"] for v in se],
+                }
+            return
+        yield from iter_parquet_rows(p)
+
     def _iter_encoded(self, path: str, indices: np.ndarray | None) -> Iterator[EncodedRead]:
         if indices is None:
             yield from iter_encoded_from_any(path, self.max_length)
@@ -175,6 +250,10 @@ class DataModule:
 
     def _split_iter(self, which: str) -> Iterator[EncodedRead]:
         if self._needs_ratio_split():
+            paths = self._materialize_splits()
+            if paths is not None:
+                yield from iter_encoded_from_any(paths[which], self.max_length)
+                return
             split = self._get_split()
             yield from self._iter_encoded(self.train_data_path, getattr(split, which))
             return

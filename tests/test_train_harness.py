@@ -223,3 +223,65 @@ def test_train_entrypoint_with_test(dataset, tmp_path):
     metrics = train(cfg)
     assert "test/f1" in metrics
     assert (tmp_path / "train" / "test_metrics.json").exists()
+
+
+class TestSplitMaterialization:
+    """Per-split parquet cache: O(n) once, O(split) per epoch, same content."""
+
+    def test_materialized_equals_filtered(self, tmp_path):
+        import numpy as np
+
+        from deepchopper_tpu.data.parquet_module import DataModule
+
+        rng = np.random.default_rng(0)
+        fq = tmp_path / "d.fq"
+        with open(fq, "wb") as fh:
+            for i in range(60):
+                n = int(rng.integers(60, 200))
+                seq = "".join(rng.choice(list("ACGT"), n))
+                qual = "".join(chr(c) for c in rng.integers(38, 70, n))
+                fh.write(b"@sm_%d|%d:%d\n%s\n+\n%s\n" % (i, 5, 25, seq.encode(), qual.encode()))
+
+        dm = DataModule(train_data_path=str(fq), max_length=256, seed=3, shuffle_buffer=1)
+        cached = {w: [] for w in ("train", "val", "test")}
+        for w in cached:
+            for r in dm._split_iter(w):
+                cached[w].append(r)
+        # cache files exist and cover all rows exactly once
+        paths = dm._split_cache_paths()
+        assert all(p.exists() for p in paths.values())
+        total = sum(len(v) for v in cached.values())
+        assert total == 60
+
+        # equality vs the fallback index-filter path
+        split = dm._get_split()
+        for w in cached:
+            want = list(dm._iter_encoded(str(fq), getattr(split, w)))
+            got = cached[w]
+            assert [r.id for r in got] == [r.id for r in want]
+            for a, b in zip(got, want):
+                np.testing.assert_array_equal(a.input_ids, b.input_ids)
+                np.testing.assert_array_equal(a.labels, b.labels)
+
+    def test_second_epoch_uses_cache(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        import deepchopper_tpu.data.parquet_module as pm
+
+        rng = np.random.default_rng(1)
+        fq = tmp_path / "e.fq"
+        with open(fq, "wb") as fh:
+            for i in range(20):
+                n = int(rng.integers(60, 120))
+                seq = "".join(rng.choice(list("ACGT"), n))
+                qual = "I" * n
+                fh.write(b"@ep_%d\n%s\n+\n%s\n" % (i, seq.encode(), qual.encode()))
+        dm = pm.DataModule(train_data_path=str(fq), max_length=256, shuffle_buffer=1)
+        n1 = sum(1 for _ in dm._split_iter("train"))
+        # Once materialized, the raw source must not be re-read.
+        def boom(*a, **k):
+            raise AssertionError("source re-scanned after materialization")
+
+        monkeypatch.setattr(dm, "_iter_source_rows", boom)
+        n2 = sum(1 for _ in dm._split_iter("train"))
+        assert n1 == n2 == 16
