@@ -368,6 +368,9 @@ def main(argv: list[str] | None = None) -> int:
         level=logging.INFO if getattr(args, "verbose", False) else logging.WARNING,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    from .utils.pylogger import suppress_warnings
+
+    suppress_warnings(verbose=getattr(args, "verbose", False))
     handlers = {
         "predict": cmd_predict,
         "chop": cmd_chop,

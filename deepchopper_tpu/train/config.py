@@ -74,6 +74,14 @@ class TrainerConfig:
     n_devices: int | None = None  # None = all visible
     deterministic: bool = True
     gradient_clip: float | None = None
+    # Debug shortcuts (reference: configs/debug/fdr.yaml, overfit.yaml):
+    # fast_dev_run = 1 train/val batch, 1 epoch, no checkpoints;
+    # overfit_batches = train AND validate on the same N cached batches.
+    fast_dev_run: bool = False
+    overfit_batches: int | None = None
+    # Comma-separated logger backends: csv, tensorboard
+    # (reference: configs/logger/*.yaml).
+    loggers: str = "csv,tensorboard"
 
 
 @dataclasses.dataclass

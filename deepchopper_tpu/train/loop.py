@@ -146,6 +146,26 @@ class CsvLogger:
             w.writerow(row)
 
 
+class MultiLogger:
+    """Fan a metrics row out to several backends (csv, tensorboard)."""
+
+    def __init__(self, out_dir: Path, names: str):
+        self.backends: list[Any] = []
+        for name in (n.strip() for n in names.split(",") if n.strip()):
+            if name == "csv":
+                self.backends.append(CsvLogger(out_dir / "metrics.csv"))
+            elif name == "tensorboard":
+                from .tb_logger import TensorBoardLogger
+
+                self.backends.append(TensorBoardLogger(out_dir / "tb"))
+            else:
+                log.warning("unknown logger backend %r (csv, tensorboard)", name)
+
+    def log(self, row: dict[str, Any]) -> None:
+        for b in self.backends:
+            b.log(dict(row))
+
+
 def param_count(params: Any) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
@@ -157,7 +177,7 @@ class Trainer:
         self.cfg = cfg
         self.out_dir = Path(cfg.output_dir) / cfg.task_name
         self.ckpt_dir = self.out_dir / "checkpoints"
-        self.logger = CsvLogger(self.out_dir / "metrics.csv")
+        self.logger = MultiLogger(self.out_dir, cfg.trainer.loggers)
         self.mesh = make_mesh(cfg.trainer.n_devices)
         self.history: list[dict[str, float]] = []
         self.best_ckpt_path: Path | None = None
@@ -242,6 +262,28 @@ class Trainer:
     def fit(self, datamodule: DataModule | None = None) -> dict[str, float]:
         cfg = self.cfg
         dm = datamodule or DataModule(**dataclasses.asdict(cfg.data))
+        save_ckpts = True
+        if cfg.trainer.fast_dev_run:
+            # One batch, one epoch, no checkpoints — smoke the full loop
+            # (reference: configs/debug/fdr.yaml).
+            cfg = dataclasses.replace(
+                cfg,
+                trainer=dataclasses.replace(
+                    cfg.trainer, max_epochs=1, limit_train_batches=1, limit_val_batches=1
+                ),
+            )
+            save_ckpts = False
+            log.info("fast_dev_run: 1 batch / 1 epoch / no checkpoints")
+        overfit_cache: list | None = None
+        if cfg.trainer.overfit_batches:
+            # Train AND validate on the same cached batches
+            # (reference: configs/debug/overfit.yaml).
+            import itertools
+
+            overfit_cache = list(
+                itertools.islice(dm.train_batches(0), cfg.trainer.overfit_batches)
+            )
+            log.info("overfit mode: %d cached batches", len(overfit_cache))
         bundle, state, jit_train, jit_eval = self._build()
         log.info("model %s: %d params", cfg.model.name, param_count(bundle.params))
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -270,7 +312,8 @@ class Trainer:
             t0 = time.monotonic()
             train_stats = BinaryStats()
             train_losses: list[float] = []
-            for i, batch in enumerate(dm.train_batches(epoch)):
+            train_src = overfit_cache if overfit_cache is not None else dm.train_batches(epoch)
+            for i, batch in enumerate(train_src):
                 if (
                     cfg.trainer.limit_train_batches is not None
                     and i >= cfg.trainer.limit_train_batches
@@ -283,7 +326,10 @@ class Trainer:
                     log.info("epoch %d step %d loss=%.4f", epoch, i, train_losses[-1])
 
             val = self._run_eval(
-                jit_eval, state.params, dm.val_batches(), cfg.trainer.limit_val_batches
+                jit_eval,
+                state.params,
+                iter(overfit_cache) if overfit_cache is not None else dm.val_batches(),
+                cfg.trainer.limit_val_batches,
             )
             lr = _get_lr(state)
             new_lr = plateau.step(val["loss"], lr)
@@ -319,10 +365,11 @@ class Trainer:
             )
             if improved:
                 best_metric = monitored
-                self.best_ckpt_path = self.ckpt_dir / f"epoch_{epoch:03d}_f1_{val['f1']:.4f}.ckpt"
-                self._save(self.best_ckpt_path, state, epoch, best_metric)
-                log.info("new best %s=%.4f -> %s", cfg.callbacks.monitor, monitored, self.best_ckpt_path)
-            if cfg.callbacks.save_last:
+                if save_ckpts:
+                    self.best_ckpt_path = self.ckpt_dir / f"epoch_{epoch:03d}_f1_{val['f1']:.4f}.ckpt"
+                    self._save(self.best_ckpt_path, state, epoch, best_metric)
+                    log.info("new best %s=%.4f -> %s", cfg.callbacks.monitor, monitored, self.best_ckpt_path)
+            if cfg.callbacks.save_last and save_ckpts:
                 self._save(self.ckpt_dir / "last.ckpt", state, epoch, best_metric)
 
             if stopper.step(monitored):

@@ -1,0 +1,58 @@
+"""Rank-aware logging + curated third-party warning suppression.
+
+Equivalents of the reference's RankedLogger
+(reference: deepchopper/utils/pylogger.py:12-57) and the curated
+warning filter list (reference: deepchopper/utils/suppress_warnings.py:44-97).
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+
+
+class RankedLogger(logging.LoggerAdapter):
+    """Prefixes messages with the JAX process index; `rank_zero_only=True`
+    drops messages on non-zero ranks (multi-host runs log once)."""
+
+    def __init__(self, name: str = __name__, rank_zero_only: bool = False):
+        super().__init__(logging.getLogger(name), {})
+        self.rank_zero_only = rank_zero_only
+
+    @staticmethod
+    def _rank() -> int:
+        try:
+            import jax
+
+            return jax.process_index()
+        except Exception:  # pragma: no cover - pre-init
+            return 0
+
+    def log(self, level: int, msg, *args, **kwargs) -> None:
+        if not self.isEnabledFor(level):
+            return
+        rank = self._rank()
+        if self.rank_zero_only and rank != 0:
+            return
+        super().log(level, f"[rank {rank}] {msg}", *args, **kwargs)
+
+
+_SUPPRESSED: list[tuple[type[Warning], str]] = [
+    # Noise sources curated like the reference's list (theirs targets torch/
+    # lightning; ours targets the JAX stack).
+    (UserWarning, r".*experimental.*"),
+    (DeprecationWarning, r".*jax\..*"),
+    (FutureWarning, r".*treescope.*"),
+    (UserWarning, r".*TPU.*in use.*"),
+]
+
+
+def suppress_warnings(verbose: bool = False) -> None:
+    """Install the curated warning filters; `verbose=True` restores defaults
+    (reference contract: deepchopper/cli.py:92-94 --verbose)."""
+    if verbose:
+        warnings.resetwarnings()
+        return
+    for category, pattern in _SUPPRESSED:
+        warnings.filterwarnings("ignore", message=pattern, category=category)
+    logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)

@@ -1,0 +1,129 @@
+"""TensorBoard event logger, MultiLogger, debug-run shortcuts, RankedLogger."""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from deepchopper_tpu.train.tb_logger import TensorBoardLogger, _crc32c, _masked_crc
+
+
+def test_crc32c_vectors():
+    # RFC 3720 test vectors
+    assert _crc32c(b"") == 0x0
+    assert _crc32c(b"123456789") == 0xE3069283
+    assert _crc32c(bytes(32)) == 0x8A9136AA
+
+
+def _read_records(path: Path):
+    data = path.read_bytes()
+    pos = 0
+    out = []
+    while pos < len(data):
+        (length,) = struct.unpack_from("<Q", data, pos)
+        (hcrc,) = struct.unpack_from("<I", data, pos + 8)
+        assert hcrc == _masked_crc(data[pos : pos + 8])
+        rec = data[pos + 12 : pos + 12 + length]
+        (rcrc,) = struct.unpack_from("<I", data, pos + 12 + length)
+        assert rcrc == _masked_crc(rec)
+        out.append(rec)
+        pos += 12 + length + 4
+    return out
+
+
+def test_tb_events_file_wellformed(tmp_path):
+    tb = TensorBoardLogger(tmp_path)
+    tb.log({"epoch": 0, "train/loss": 1.5, "val/f1": 0.25, "name": "skip-me"})
+    tb.log_scalars(3, {"lr": 2e-4})
+    tb.close()
+    recs = _read_records(tb.path)
+    assert len(recs) == 3  # file_version + 2 scalar events
+    assert b"brain.Event:2" in recs[0]
+    assert b"train/loss" in recs[1] and b"val/f1" in recs[1]
+    # float 0.25 little-endian appears after the simple_value tag
+    assert struct.pack("<f", 0.25) in recs[1]
+    assert b"lr" in recs[2]
+
+
+def _tiny_cfg(tmp_path, fq, **trainer_kw):
+    from deepchopper_tpu.train.config import TrainConfig, load_config
+
+    cfg = load_config(
+        None,
+        [
+            f"data.train_data_path={fq}",
+            "data.max_length=128",
+            "data.tokens_per_batch=2048",
+            "data.shuffle_buffer=1",
+            "model.name=hyenadna-tiny-1k-seqlen",
+            "trainer.n_devices=1",
+            f"output_dir={tmp_path}/out",
+            "test=false",
+        ]
+        + [f"trainer.{k}={v}" for k, v in trainer_kw.items()],
+    )
+    return cfg
+
+
+def _make_fq(tmp_path, n=24):
+    rng = np.random.default_rng(0)
+    fq = tmp_path / "t.fq"
+    with open(fq, "wb") as fh:
+        for i in range(n):
+            ln = int(rng.integers(60, 120))
+            seq = "".join(rng.choice(list("ACGT"), ln))
+            fh.write(b"@t%d|10:30\n%s\n+\n%s\n" % (i, seq.encode(), b"I" * ln))
+    return fq
+
+
+def test_fast_dev_run(tmp_path):
+    from deepchopper_tpu.train.loop import Trainer
+
+    fq = _make_fq(tmp_path)
+    cfg = _tiny_cfg(tmp_path, fq, fast_dev_run=True, loggers="csv,tensorboard")
+    tr = Trainer(cfg)
+    tr.fit()
+    assert len(tr.history) == 1
+    # no checkpoints in fast_dev_run
+    assert not list((tr.out_dir / "checkpoints").glob("*.ckpt"))
+    # both logger backends wrote
+    assert (tr.out_dir / "metrics.csv").exists()
+    assert list((tr.out_dir / "tb").glob("events.out.tfevents.*"))
+
+
+def test_overfit_batches(tmp_path):
+    from deepchopper_tpu.train.loop import Trainer
+
+    fq = _make_fq(tmp_path)
+    cfg = _tiny_cfg(tmp_path, fq, overfit_batches=1, max_epochs=2, loggers="csv")
+    tr = Trainer(cfg)
+
+    # Validation must consume the cached overfit batches, not the val split.
+    import deepchopper_tpu.data.parquet_module as pm
+
+    def boom(self):
+        raise AssertionError("val_batches must not be used in overfit mode")
+
+    orig = pm.DataModule.val_batches
+    pm.DataModule.val_batches = boom
+    try:
+        tr.fit()
+    finally:
+        pm.DataModule.val_batches = orig
+    assert len(tr.history) == 2
+    assert np.isfinite(tr.history[-1]["val/loss"])
+
+
+def test_ranked_logger_and_suppress(caplog):
+    import logging
+
+    from deepchopper_tpu.utils.pylogger import RankedLogger, suppress_warnings
+
+    lg = RankedLogger("test.ranked")
+    with caplog.at_level(logging.INFO, logger="test.ranked"):
+        lg.info("hello")
+    assert any("[rank 0] hello" in m for m in caplog.messages)
+    suppress_warnings()  # must not raise
+    suppress_warnings(verbose=True)
