@@ -126,6 +126,18 @@ def _add_misc(sub: argparse._SubParsersAction) -> None:
     t = tsub.add_parser("psl-top1", help="Top-1 identity summary of a PSL file")
     t.add_argument("psl", type=Path)
 
+    t = tsub.add_parser("blat-predictions", help="Batch-BLAT predicted adapter seqs")
+    t.add_argument("predicts", type=Path, nargs="+", help="Prediction shard dirs/files")
+    t.add_argument("--prefix", "-p", default="")
+    t.add_argument("--sr", dest="selected_reads", type=Path, default=None)
+    t.add_argument("--fq", dest="fastq", type=Path, default=None)
+    t.add_argument("--smooth-window", "-s", type=int, default=21)
+    t.add_argument("--min-interval-size", "--mis", type=int, default=13)
+    t.add_argument("--approved-intervals", "-a", type=int, default=20)
+    t.add_argument("--max-process-intervals", "--mpi", type=int, default=4)
+    t.add_argument("--blat-cli", default=None)
+    t.add_argument("--hg38-2bit", default=None)
+
     t = tsub.add_parser("encode-smoke", help="Tensor-encode a FASTQ and print shapes")
     t.add_argument("fq", type=Path)
     t.add_argument("--max-reads", type=int, default=100)
@@ -337,6 +349,22 @@ def cmd_tools(args: argparse.Namespace) -> int:
         print(f"replaced {n} internal records -> {args.output}")
     elif args.tool == "psl-top1":
         print(tools.psl_top1_summary(args.psl))
+    elif args.tool == "blat-predictions":
+        from .eval.blat import blat_predictions
+
+        res = blat_predictions(
+            list(args.predicts),
+            prefix=args.prefix,
+            selected_reads=args.selected_reads,
+            fastq=args.fastq,
+            smooth_window_size=args.smooth_window,
+            min_interval_size=args.min_interval_size,
+            approved_interval_number=args.approved_intervals,
+            max_process_intervals=args.max_process_intervals,
+            blat_cli=args.blat_cli,
+            hg38_2bit=args.hg38_2bit,
+        )
+        print(res)
     elif args.tool == "encode-smoke":
         print(tools.encode_smoke(args.fq, args.max_reads))
     return 0

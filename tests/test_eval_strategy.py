@@ -226,3 +226,71 @@ def test_collect_overlap_results_driver(tmp_path, monkeypatch):
     assert res["terminal_chop_sc"] == ["a"]
     assert res["sc_without_chop"] == ["b"]
     assert list(tmp_path.glob("stats_*.json")) and list(tmp_path.glob("overlap_results_*.json"))
+
+
+class TestBlatPredictions:
+    """Batch BLAT dev tool (reference: src/bin/blat.rs:1-276)."""
+
+    def test_extracts_seqs_and_quals(self, tmp_path, monkeypatch):
+        import json
+
+        import numpy as np
+
+        from deepchopper_tpu.eval.blat import blat_predictions
+        from deepchopper_tpu.io.predicts import write_prediction_shard
+
+        monkeypatch.chdir(tmp_path)
+        # one read with a clear adapter interval [30, 60)
+        n = 120
+        labels = np.zeros((1, n), np.int8)
+        labels[0, 30:60] = 1
+        logits = np.zeros((1, n, 2), np.float32)
+        logits[..., 0] = 1.0
+        logits[0, 30:60, 1] = 2.0
+        seq_ids = np.full((1, n), 7, np.int32)  # all A
+        target = np.zeros((1, n), np.int64)
+        from deepchopper_tpu.io.predicts import pack_read_ids
+
+        ids = pack_read_ids(["readZ"], [False])
+        shard = tmp_path / "shards" / "0" / "0_0.npz"
+        write_prediction_shard(shard, logits, target, seq_ids, np.zeros((1, n)), ids)
+
+        fq = tmp_path / "r.fq"
+        fq.write_bytes(b"@readZ\n" + b"A" * n + b"\n+\n" + b"I" * n + b"\n")
+        sr = tmp_path / "sel.txt"
+        sr.write_text("readZ\n")
+
+        res = blat_predictions(
+            [shard.parent], prefix=str(tmp_path) + "/", selected_reads=sr, fastq=fq
+        )
+        assert res["n_seqs"] == 1
+        fa = (tmp_path / "all_predicts_seq.fa").read_text()
+        assert fa.startswith(">0\n")
+        assert len(fa.splitlines()[1]) == 30
+        quals = json.loads((tmp_path / "predicts_base_quals.json").read_text())
+        # reference quirk: mean of raw ASCII quality bytes ('I' == 73)
+        assert quals == [73.0]
+
+    def test_all_reads_mode(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from deepchopper_tpu.eval.blat import blat_predictions
+        from deepchopper_tpu.io.predicts import pack_read_ids, write_prediction_shard
+
+        monkeypatch.chdir(tmp_path)
+        n = 100
+        logits = np.zeros((2, n, 2), np.float32)
+        logits[..., 0] = 1.0
+        logits[0, 20:50, 1] = 2.0  # read0: one interval
+        shard = tmp_path / "s" / "0_0.npz"
+        write_prediction_shard(
+            shard,
+            logits,
+            np.zeros((2, n), np.int64),
+            np.full((2, n), 8, np.int32),
+            np.zeros((2, n)),
+            pack_read_ids(["r0", "r1"], [False, False]),
+        )
+        res = blat_predictions([shard.parent], prefix=str(tmp_path) + "/")
+        assert res["n_predicts"] == 2
+        assert res["n_seqs"] == 1  # r1 has no intervals
