@@ -44,10 +44,10 @@ log = logging.getLogger(__name__)
 class FusedStats(ChopStats):
     """ChopStats plus a host/device stage breakdown (wall seconds)."""
 
-    encode_s: float = 0.0  # host: read+index+encode (inside batch generator)
-    device_s: float = 0.0  # blocked on device results (D2H fetch)
-    smooth_s: float = 0.0  # majority vote + region extraction
-    chop_write_s: float = 0.0  # record split + BGZF write
+    encode_s: float = 0.0  # feed thread: read+index+encode+dispatch
+    device_s: float = 0.0  # feed thread blocked on device results (D2H fetch)
+    smooth_s: float = 0.0  # worker: majority vote + region extraction (overlaps device)
+    chop_write_s: float = 0.0  # worker: record split + BGZF write (overlaps device)
 
 
 def _chop_chunk(chunk: FastqChunk, opts: ChopOptions, writer, stats: FusedStats) -> None:
@@ -141,34 +141,67 @@ def fused_predict_chop(
     temp_output = out_dir / f".deepchopper_temp_{os.getpid()}.fq.gz"
 
     regions_fn = native.label_regions if native.available() else get_label_region
+
+    def _consume(batch, labels) -> None:
+        """Vote + region-extract one batch, then chop any completed chunks.
+
+        Runs on the worker thread: the C++ vote/label-region kernels and the
+        BGZF writer release the GIL, so this overlaps the feed thread's
+        encode+dispatch work and the device never starves on chop IO.
+        """
+        t0 = time.monotonic()
+        pred_lens = (batch.lengths.astype(np.int64) - 1).clip(min=0)
+        smoothed = majority_voting_batch(labels, pred_lens, opts.smooth_window_size)
+        for i, (chunk, row) in enumerate(batch.refs):
+            n = int(pred_lens[i])
+            regions = regions_fn(smoothed[i, :n])
+            kept = [(s, e) for (s, e) in regions if e - s >= opts.min_interval_size]
+            if len(kept) > opts.approved_interval_number:
+                kept = []
+            seq_len = int(chunk.spans[row, 3])
+            # prediction shorter than the read => truncated at encode
+            chunk.intervals[row] = (n != seq_len, kept)
+            chunk.remaining -= 1
+            stats.predicts_loaded += 1
+        t1 = time.monotonic()
+        stats.smooth_s += t1 - t0
+        while order and order[0].remaining == 0:
+            _chop_chunk(order.popleft(), opts, writer, stats)
+        stats.chop_write_s += time.monotonic() - t1
+
+    import queue
+    import threading
+
+    work: queue.Queue = queue.Queue(maxsize=8)
+    worker_err: list[BaseException] = []
+
+    def _worker() -> None:
+        while True:
+            item = work.get()
+            if item is None:
+                return
+            try:
+                _consume(*item)
+            except BaseException as exc:  # noqa: BLE001 - surfaced on join
+                worker_err.append(exc)
+                return
+
     t_last = time.monotonic()
     try:
         with open_bgzf_writer(temp_output, threads=opts.threads) as writer:
+            worker = threading.Thread(target=_worker, name="fused-chop", daemon=True)
+            worker.start()
             for batch, labels in engine.predict_batches(source.batches()):
                 t0 = time.monotonic()
                 stats.device_s += t0 - t_last  # approx: time blocked in iterator
-                pred_lens = (batch.lengths.astype(np.int64) - 1).clip(min=0)
-                smoothed = majority_voting_batch(labels, pred_lens, opts.smooth_window_size)
-                for i, (chunk, row) in enumerate(batch.refs):
-                    n = int(pred_lens[i])
-                    regions = regions_fn(smoothed[i, :n])
-                    kept = [
-                        (s, e) for (s, e) in regions if e - s >= opts.min_interval_size
-                    ]
-                    if len(kept) > opts.approved_interval_number:
-                        kept = []
-                    seq_len = int(chunk.spans[row, 3])
-                    # prediction shorter than the read => truncated at encode
-                    chunk.intervals[row] = (n != seq_len, kept)
-                    chunk.remaining -= 1
-                    stats.predicts_loaded += 1
-                t1 = time.monotonic()
-                stats.smooth_s += t1 - t0
-                while order and order[0].remaining == 0:
-                    _chop_chunk(order.popleft(), opts, writer, stats)
+                if worker_err:
+                    break
+                work.put((batch, labels))
                 t_last = time.monotonic()
-                stats.chop_write_s += t_last - t1
-            t1 = time.monotonic()
+            work.put(None)
+            worker.join()
+            if worker_err:
+                raise worker_err[0]
             while order:
                 chunk = order.popleft()
                 if chunk.remaining:
@@ -176,7 +209,6 @@ def fused_predict_chop(
                         f"chunk {chunk.chunk_id}: {chunk.remaining} reads never predicted"
                     )
                 _chop_chunk(chunk, opts, writer, stats)
-            stats.chop_write_s += time.monotonic() - t1
 
         if opts.output_prefix is not None:
             output_file = (
@@ -195,7 +227,9 @@ def fused_predict_chop(
         raise
 
     stats.elapsed_s = time.monotonic() - start
-    stats.encode_s = max(stats.elapsed_s - stats.device_s - stats.smooth_s - stats.chop_write_s, 0.0)
+    # smooth/chop run on the worker thread and OVERLAP device time, so stage
+    # seconds are per-stage busy time, not an additive wall-time partition.
+    stats.encode_s = max(stats.elapsed_s - stats.device_s, 0.0)
     stats.peak_rss_bytes = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     log.info(
         "fused: %d reads -> %d records in %.2fs (device-wait %.2fs, smooth %.2fs, "

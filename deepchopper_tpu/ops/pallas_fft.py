@@ -227,7 +227,19 @@ def fft_causal_conv_pallas(
     L must be a power of two >= 256 (bucket widths are). Grid is one step
     per channel; each step's working set lives in VMEM and Mosaic
     double-buffers the HBM reads/writes across steps.
+
+    Differentiable: a custom VJP (below) backprops through the conv math
+    directly — Pallas kernels have no automatic reverse rule, which would
+    otherwise break training on TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _conv_autodiff(v, k, bias, interpret)
+
+
+def _fft_causal_conv_pallas_impl(
+    v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, *, interpret: bool | None = None
+) -> jnp.ndarray:
     batch, seq_len, d_model = v.shape
     n = 2 * seq_len
     n1, n2 = _split(n)
@@ -286,3 +298,45 @@ def fft_causal_conv_pallas(
 
     y = jnp.moveaxis(out.reshape(d_model, padded_batch, seq_len), 0, -1)  # (B', L, D)
     return y[:batch]
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: forward = fused Pallas kernel; backward = FFT correlations.
+# y_i = sum_{j<=i} v_j k_{i-j} + v_i b  gives
+#   dv_j = sum_{i>=j} dy_i k_{i-j} + dy_j b     (correlation with k)
+#   dk_t = sum_{B, i>=t} dy_i v_{i-t}           (correlation with v)
+#   db_d = sum_{B, L} dy * v
+# Both correlations are exact via zero-padded FFTs with a conjugated factor
+# (wraparound terms land on the zero padding since k, v are supported on
+# [0, L) and N = 2L).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv_autodiff(v, k, bias, interpret):
+    return _fft_causal_conv_pallas_impl(v, k, bias, interpret=interpret)
+
+
+def _conv_fwd(v, k, bias, interpret):
+    return _fft_causal_conv_pallas_impl(v, k, bias, interpret=interpret), (v, k, bias)
+
+
+def _conv_bwd(interpret, res, dy):
+    v, k, bias = res
+    seq_len = v.shape[1]
+    n = 2 * seq_len
+    dy32 = dy.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    k_f = jnp.fft.rfft(k.astype(jnp.float32), n=n, axis=0)  # (F, D)
+    dy_f = jnp.fft.rfft(dy32, n=n, axis=1)  # (B, F, D)
+    v_f = jnp.fft.rfft(v32, n=n, axis=1)
+    dv = (
+        jnp.fft.irfft(dy_f * jnp.conj(k_f)[None], n=n, axis=1)[:, :seq_len]
+        + dy32 * bias[None, None, :]
+    )
+    dk = jnp.fft.irfft(jnp.sum(dy_f * jnp.conj(v_f), axis=0), n=n, axis=0)[:seq_len]
+    dbias = jnp.sum(dy32 * v32, axis=(0, 1))
+    return dv.astype(v.dtype), dk.astype(k.dtype), dbias.astype(bias.dtype)
+
+
+_conv_autodiff.defvjp(_conv_fwd, _conv_bwd)

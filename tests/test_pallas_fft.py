@@ -85,3 +85,37 @@ def test_tables_orthogonality():
     f1 = t["c1"] + 1j * t["s1"]
     i1 = t["ic1"] + 1j * t["is1"]
     np.testing.assert_allclose((f1 @ i1).real / n1, np.eye(n1), atol=1e-5)
+
+
+def test_pallas_conv_custom_vjp_matches_fft_grad():
+    """Training on TPU backprops through the Pallas conv via the custom VJP;
+    gradients must match autodiff through the stock-FFT implementation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepchopper_tpu.models.hyena import fft_causal_conv
+    from deepchopper_tpu.ops.pallas_fft import fft_causal_conv_pallas
+
+    rng = np.random.default_rng(0)
+    B, L, D = 2, 256, 4
+    v = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    k = jnp.asarray(
+        rng.standard_normal((L, D)) * np.exp(-np.arange(L) / 40.0)[:, None], jnp.float32
+    )
+    bias = jnp.asarray(rng.standard_normal(D), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)  # cotangent mixer
+
+    def loss_ref(v, k, b):
+        return jnp.sum(fft_causal_conv(v, k, b) * w)
+
+    def loss_pallas(v, k, b):
+        return jnp.sum(fft_causal_conv_pallas(v, k, b, interpret=True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(v, k, bias)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(v, k, bias)
+    for a, b_, name in zip(g_ref, g_pal, "v k bias".split()):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=3e-4 * scale, err_msg=name
+        )
