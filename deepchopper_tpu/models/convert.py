@@ -55,7 +55,12 @@ def _find(sd: dict[str, np.ndarray], *candidates: str) -> np.ndarray:
 
 
 def convert_torch_state_dict(path: str | Path, template_params: Any) -> Any:
-    """Convert a reference torch checkpoint into our flax param pytree."""
+    """Convert a reference torch checkpoint into our flax param pytree.
+
+    Dispatches on the template structure: Hyena blocks (mixer/filter_fn) or
+    Caduceus blocks (bimamba) — the two backbone families the reference ships
+    checkpoints for (reference: deepchopper/models/llm/{hyena,caduceus}.py).
+    """
     import jax
 
     sd = _strip_prefixes(_load_torch_state_dict(path))
@@ -64,6 +69,8 @@ def convert_torch_state_dict(path: str | Path, template_params: Any) -> Any:
 
     bb = p["backbone"]
     n_layer = sum(1 for k in bb if k.startswith("block_"))
+    if n_layer and "bimamba" in bb["block_0"]:
+        return _convert_caduceus(sd, p, n_layer)
 
     def dense(dst: dict, torch_prefix: str) -> None:
         dst["kernel"] = _find(sd, f"{torch_prefix}.weight").T
@@ -135,10 +142,69 @@ def convert_torch_state_dict(path: str | Path, template_params: Any) -> Any:
     bb["ln_f"]["scale"] = _find(sd, "backbone.backbone.ln_f.weight", "backbone.ln_f.weight", "ln_f.weight")
     bb["ln_f"]["bias"] = _find(sd, "backbone.backbone.ln_f.bias", "backbone.ln_f.bias", "ln_f.bias")
 
-    head = p["head"]
-    for lin in ("linear1", "linear2", "linear3"):
-        dense(head[lin], f"head.{lin}")
-    if "qual_linear1" in head:
-        dense(head["qual_linear1"], "head.qual_linear1")
+    _convert_head(sd, p["head"])
 
+    return jax.tree_util.tree_map(np.asarray, p)
+
+
+def _convert_head(sd: dict[str, np.ndarray], head: dict) -> None:
+    """Shared MLP head mapping (reference: deepchopper/models/llm/head.py:39-102)."""
+    for lin in ("linear1", "linear2", "linear3"):
+        head[lin]["kernel"] = _find(sd, f"head.{lin}.weight").T
+        if "bias" in head[lin]:
+            head[lin]["bias"] = _find(sd, f"head.{lin}.bias")
+    if "qual_linear1" in head:
+        head["qual_linear1"]["kernel"] = _find(sd, "head.qual_linear1.weight").T
+        if "bias" in head["qual_linear1"]:
+            head["qual_linear1"]["bias"] = _find(sd, "head.qual_linear1.bias")
+
+
+def _convert_caduceus(sd: dict[str, np.ndarray], p: dict, n_layer: int) -> Any:
+    """Map the HF Caduceus-ph state dict (bidirectional weight-tied Mamba)
+    onto the CaduceusBackbone pytree (reference family:
+    kuleshov-group/caduceus-ph_*, consumed at deepchopper/models/llm/
+    caduceus.py:5-55)."""
+    import jax
+
+    bb = p["backbone"]
+    emb = _find(
+        sd,
+        "backbone.backbone.embeddings.word_embeddings.weight",
+        "backbone.embeddings.word_embeddings.weight",
+        "embeddings.word_embeddings.weight",
+    )
+    vocab = bb["word_embeddings"]["embedding"].shape[0]
+    bb["word_embeddings"]["embedding"] = emb[:vocab]
+
+    for i in range(n_layer):
+        blk = bb[f"block_{i}"]
+        for pt in (
+            f"backbone.backbone.layers.{i}",
+            f"backbone.layers.{i}",
+            f"layers.{i}",
+        ):
+            if any(k.startswith(pt + ".") for k in sd):
+                break
+        blk["norm"]["scale"] = _find(sd, f"{pt}.norm.weight")
+        mixer = blk["bimamba"]["mixer"]
+        # "ph" ties forward/reverse weights; mamba_fwd carries the params.
+        for mx in (f"{pt}.mixer.mamba_fwd", f"{pt}.mixer.submodule.mamba_fwd", f"{pt}.mixer"):
+            if any(k.startswith(mx + ".") for k in sd):
+                break
+        mixer["in_proj"]["kernel"] = _find(sd, f"{mx}.in_proj.weight").T
+        # torch depthwise Conv1d weight (channels, 1, k) -> ours (k, 1, channels)
+        mixer["conv1d_kernel"] = np.transpose(_find(sd, f"{mx}.conv1d.weight"), (2, 1, 0))
+        mixer["conv1d_bias"] = _find(sd, f"{mx}.conv1d.bias")
+        mixer["x_proj"]["kernel"] = _find(sd, f"{mx}.x_proj.weight").T
+        mixer["dt_proj"]["kernel"] = _find(sd, f"{mx}.dt_proj.weight").T
+        mixer["dt_proj"]["bias"] = _find(sd, f"{mx}.dt_proj.bias")
+        mixer["A_log"] = _find(sd, f"{mx}.A_log")
+        mixer["D"] = _find(sd, f"{mx}.D")
+        mixer["out_proj"]["kernel"] = _find(sd, f"{mx}.out_proj.weight").T
+
+    bb["norm_f"]["scale"] = _find(
+        sd, "backbone.backbone.norm_f.weight", "backbone.norm_f.weight", "norm_f.weight"
+    )
+    if "head" in p:
+        _convert_head(sd, p["head"])
     return jax.tree_util.tree_map(np.asarray, p)

@@ -319,3 +319,168 @@ def test_hyena_backbone_hidden_parity(tmp_path):
 
     scale = np.abs(t_hidden).max()
     np.testing.assert_allclose(j_hidden, t_hidden, atol=2e-4 * max(1.0, scale))
+
+
+# ---------------------------------------------------------------------------
+# Caduceus (bidirectional weight-tied Mamba) oracle
+# ---------------------------------------------------------------------------
+
+
+class TorchMamba(tnn.Module):
+    """Literal Mamba mixer mirroring the HF caduceus module's key layout
+    (in_proj/conv1d/x_proj/dt_proj/A_log/D/out_proj) and math."""
+
+    def __init__(self, d_model, d_state, d_conv, expand, dt_rank):
+        super().__init__()
+        d_inner = d_model * expand
+        self.d_inner, self.d_state, self.dt_rank = d_inner, d_state, dt_rank
+        self.in_proj = tnn.Linear(d_model, 2 * d_inner, bias=False)
+        self.conv1d = tnn.Conv1d(d_inner, d_inner, d_conv, groups=d_inner, padding=d_conv - 1)
+        self.x_proj = tnn.Linear(d_inner, dt_rank + 2 * d_state, bias=False)
+        self.dt_proj = tnn.Linear(dt_rank, d_inner)
+        self.A_log = tnn.Parameter(
+            torch.log(torch.arange(1, d_state + 1, dtype=torch.float32)).repeat(d_inner, 1)
+        )
+        self.D = tnn.Parameter(torch.ones(d_inner))
+        self.out_proj = tnn.Linear(d_inner, d_model, bias=False)
+
+    def forward(self, x):
+        B_, L, _ = x.shape
+        xz = self.in_proj(x)
+        xs, z = xz.chunk(2, dim=-1)
+        xs = self.conv1d(xs.transpose(1, 2))[..., :L].transpose(1, 2)
+        xs = torch.nn.functional.silu(xs)
+        bcdt = self.x_proj(xs)
+        dt, Bp, Cp = torch.split(bcdt, [self.dt_rank, self.d_state, self.d_state], dim=-1)
+        delta = torch.nn.functional.softplus(self.dt_proj(dt))  # (B, L, D_in)
+        A = -torch.exp(self.A_log)  # (D_in, N)
+        # sequential scan: h[t] = exp(delta A) h[t-1] + delta B u;  y = C.h + D u
+        h = torch.zeros(B_, self.d_inner, self.d_state)
+        ys = []
+        for t in range(L):
+            a = torch.exp(delta[:, t, :, None] * A[None])
+            h = a * h + delta[:, t, :, None] * Bp[:, t, None, :] * xs[:, t, :, None]
+            ys.append((h * Cp[:, t, None, :]).sum(-1))
+        y = torch.stack(ys, dim=1) + xs * self.D[None, None]
+        y = y * torch.nn.functional.silu(z)
+        return self.out_proj(y)
+
+
+class TorchBiMamba(tnn.Module):
+    """'ph' weight tying: same mamba_fwd applied to x and flip(x)."""
+
+    def __init__(self, *args):
+        super().__init__()
+        self.mamba_fwd = TorchMamba(*args)
+
+    def forward(self, x):
+        fwd = self.mamba_fwd(x)
+        bwd = self.mamba_fwd(torch.flip(x, dims=(1,))).flip(dims=(1,))
+        return fwd + bwd
+
+
+class TorchRMSNorm(tnn.Module):
+    def __init__(self, d, eps=1e-5):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.ones(d))
+        self.eps = eps
+
+    def forward(self, x):
+        return x * torch.rsqrt(x.pow(2).mean(-1, keepdim=True) + self.eps) * self.weight
+
+
+class TorchCaduceusBackbone(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.embeddings = tnn.Module()
+        self.embeddings.word_embeddings = tnn.Embedding(cfg.padded_vocab_size, cfg.d_model)
+        self.layers = tnn.ModuleList()
+        for _ in range(cfg.n_layer):
+            block = tnn.Module()
+            block.norm = TorchRMSNorm(cfg.d_model, cfg.layer_norm_epsilon)
+            block.mixer = TorchBiMamba(cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand, cfg.dt_rank)
+            self.layers.append(block)
+        self.norm_f = TorchRMSNorm(cfg.d_model, cfg.layer_norm_epsilon)
+
+    def forward(self, ids):
+        x = self.embeddings.word_embeddings(ids)
+        for blk in self.layers:
+            x = x + blk.mixer(blk.norm(x))
+        return self.norm_f(x)
+
+
+def test_caduceus_backbone_parity(tmp_path):
+    import dataclasses
+
+    from deepchopper_tpu.models.caduceus import CaduceusBackbone
+    from deepchopper_tpu.models.config import CADUCEUS_TINY
+
+    cfg = dataclasses.replace(CADUCEUS_TINY, compute_dtype="float32")
+    torch.manual_seed(0)
+    tmodel = tnn.Module()
+    tmodel.backbone = TorchCaduceusBackbone(cfg)
+    tmodel = tmodel.eval()
+    ckpt = tmp_path / "cad.pt"
+    # Wrap as the Lightning layout the converter strips/matches.
+    torch.save({f"net.backbone.{k}": v for k, v in tmodel.backbone.state_dict().items()}, ckpt)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (2, 96))
+    with torch.no_grad():
+        t_hidden = tmodel.backbone(torch.tensor(ids)).numpy()
+
+    import jax
+
+    module = CaduceusBackbone(cfg)
+    template = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32), jnp.int32))["params"]
+    from deepchopper_tpu.models.convert import _convert_caduceus, _load_torch_state_dict, _strip_prefixes
+
+    sd = _strip_prefixes(_load_torch_state_dict(ckpt))
+    p = {"backbone": jax.tree_util.tree_map(np.asarray, template)}
+    converted = _convert_caduceus(sd, p, cfg.n_layer)
+    j_hidden = np.asarray(
+        module.apply({"params": converted["backbone"]}, jnp.asarray(ids, jnp.int32))
+    )
+    scale = max(1.0, float(np.abs(t_hidden).max()))
+    np.testing.assert_allclose(j_hidden, t_hidden, atol=3e-4 * scale)
+
+
+def test_caduceus_full_classifier_parity(tmp_path):
+    import dataclasses
+
+    from deepchopper_tpu.models.classifier import CaduceusTokenClassifier
+    from deepchopper_tpu.models.config import CADUCEUS_TINY
+
+    cfg = dataclasses.replace(CADUCEUS_TINY, compute_dtype="float32")
+    head = HeadConfig(input_size=cfg.d_model, lin1_size=96, lin2_size=96)
+    torch.manual_seed(2)
+
+    class TorchCadClassifier(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = tnn.Module()
+            self.backbone.backbone = TorchCaduceusBackbone(cfg)
+            self.head = Head(head)
+
+        def forward(self, ids, quals):
+            return self.head(self.backbone.backbone(ids), quals)
+
+    tmodel = TorchCadClassifier().eval()
+    ckpt = tmp_path / "cadc.pt"
+    torch.save({"state_dict": {f"net.{k}": v for k, v in tmodel.state_dict().items()}}, ckpt)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(7, 12, (2, 80))
+    quals = (rng.random((2, 80)) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        t_logits = tmodel(torch.tensor(ids), torch.tensor(quals)).numpy()
+
+    module = CaduceusTokenClassifier(backbone_config=cfg, head_config=head)
+    template = init_params(module, seed=0, seq_len=32)
+    params = convert_torch_state_dict(ckpt, template)
+    j_logits = np.asarray(
+        module.apply({"params": params}, jnp.asarray(ids, jnp.int32), jnp.asarray(quals))
+    )
+    scale = max(1.0, float(np.abs(t_logits).max()))
+    np.testing.assert_allclose(j_logits, t_logits, atol=3e-4 * scale)
+    np.testing.assert_array_equal(j_logits.argmax(-1), t_logits.argmax(-1))
