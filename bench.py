@@ -36,7 +36,9 @@ def synth_fastq(path: Path, n_reads: int, seed: int = 0, mean_len: int = 1200) -
 
 
 def main() -> int:
-    n_reads = int(os.environ.get("BENCH_READS", "3000"))
+    # 6000 reads keeps the run short while amortizing per-bucket tail batches
+    # closer to the 1M-read regime the baseline (docs/faq.md:81) describes.
+    n_reads = int(os.environ.get("BENCH_READS", "6000"))
     tokens_per_batch = int(os.environ.get("BENCH_TOKENS", str(1 << 18)))
 
     from deepchopper_tpu.chop import ChopOptions

@@ -201,6 +201,9 @@ class DeepChopper:
         predictions. Pass `random_init=True` (CLI: `--random-init`) only for
         tests/benchmarks.
         """
+        local = Path(model_name)
+        if local.is_dir() and (local / "config.json").exists():
+            return DeepChopper.from_pretrained_dir(local)
         name = DeepChopper.PRETRAINED_ALIASES.get(model_name, model_name)
         bundle = DeepChopper.new(name)
         if torch_checkpoint is not None:
@@ -225,3 +228,43 @@ class DeepChopper:
     @staticmethod
     def to_checkpoint(bundle: ModelBundle, path: str | Path) -> None:
         save_checkpoint(path, bundle.params, {"name": bundle.name})
+
+    @staticmethod
+    def save_pretrained(bundle: ModelBundle, directory: str | Path) -> Path:
+        """Write an HF-hub-style local model folder: config.json + weights.
+
+        The layout `from_pretrained` accepts as a directory path, so models
+        round-trip share-ably without network access (reference capability:
+        dc_hg.py `to_hub` via PyTorchModelHubMixin, minus the upload)."""
+        import json
+
+        directory = Path(directory)
+        directory.mkdir(parents=True, exist_ok=True)
+        cfg = bundle.config
+        cfg_dict = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else {}
+        (directory / "config.json").write_text(
+            json.dumps({"model_name": bundle.name, "backbone": cfg_dict}, indent=1)
+        )
+        save_checkpoint(directory / "model.dc", bundle.params, {"name": bundle.name})
+        return directory
+
+    @staticmethod
+    def from_pretrained_dir(directory: str | Path) -> ModelBundle:
+        """Load a folder written by `save_pretrained`."""
+        import json
+
+        directory = Path(directory)
+        meta = json.loads((directory / "config.json").read_text())
+        bundle = DeepChopper.new(meta["model_name"])
+        params, _ = load_checkpoint(directory / "model.dc", bundle.params)
+        return dataclasses.replace(bundle, params=params)
+
+    @staticmethod
+    def to_hub(bundle: ModelBundle, repo_id: str, directory: str | Path | None = None) -> Path:
+        """Prepare a hub upload folder (reference: dc_hg.py `to_hub`).
+
+        This environment has no network egress, so the folder is written
+        locally (`save_pretrained` layout) for a later `huggingface-cli
+        upload <repo_id> <folder>` from a connected machine."""
+        directory = Path(directory or f"hub_upload_{repo_id.replace('/', '_')}")
+        return DeepChopper.save_pretrained(bundle, directory)

@@ -180,3 +180,21 @@ def load_config(
         k, v = ov.split("=", 1)
         apply_override(cfg, k, v)
     return cfg
+
+
+def format_config_tree(cfg: TrainConfig) -> str:
+    """Indented config tree for run-start logging
+    (reference capability: deepchopper/utils/rich_utils.py print_config_tree)."""
+    lines: list[str] = []
+
+    def walk(node: Any, indent: int, name: str) -> None:
+        pad = "  " * indent
+        if dataclasses.is_dataclass(node):
+            lines.append(f"{pad}{name}:")
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name), indent + 1, f.name)
+        else:
+            lines.append(f"{pad}{name}: {node}")
+
+    walk(cfg, 0, "config")
+    return "\n".join(lines)

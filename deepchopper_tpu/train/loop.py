@@ -291,6 +291,9 @@ class Trainer:
         from .config import save_config
 
         save_config(cfg, self.out_dir / "config.yaml")
+        from .config import format_config_tree
+
+        log.info("run config:\n%s", format_config_tree(cfg))
 
         plateau = PlateauScheduler(
             cfg.optimizer.plateau_factor, cfg.optimizer.plateau_patience, cfg.optimizer.min_lr

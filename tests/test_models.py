@@ -163,3 +163,26 @@ class TestRegistryAndCheckpoints:
         ids = jnp.zeros((1, 64), jnp.int32)
         quals = jnp.zeros((1, 64), jnp.float32)
         assert bundle.apply(ids, quals).shape == (1, 64, 2)
+
+
+class TestPretrainedDir:
+    """HF-hub-style local save_pretrained/from_pretrained round trip."""
+
+    def test_roundtrip(self, tmp_path):
+        import numpy as np
+
+        bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=1)
+        out = DeepChopper.save_pretrained(bundle, tmp_path / "model_dir")
+        assert (out / "config.json").exists() and (out / "model.dc").exists()
+
+        loaded = DeepChopper.from_pretrained(str(out))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(bundle.params),
+            jax.tree_util.tree_leaves(loaded.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_to_hub_writes_upload_folder(self, tmp_path):
+        bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen")
+        out = DeepChopper.to_hub(bundle, "user/model", tmp_path / "hub")
+        assert (out / "config.json").exists()
