@@ -113,17 +113,30 @@ class PredictEngine:
             q = q / jnp.maximum(norm, 1e-12)
             return module.apply({"params": params}, ids, q)
 
-        def _logits_step(params, ids_i8, quals_u8):
-            logits = _apply(params, ids_i8, quals_u8)
-            flat = logits.astype(jnp.float32).reshape(-1)
-            out = jnp.zeros((flat_tokens * 2,), jnp.float32)
-            return jax.lax.dynamic_update_slice(out, flat, (0,))
+        if mesh is None:
+            # Single device: one canonical flat output buffer per dtype, so
+            # the runtime's per-(shape,dtype) transfer-path setup is paid once.
+            def _logits_step(params, ids_i8, quals_u8):
+                logits = _apply(params, ids_i8, quals_u8)
+                flat = logits.astype(jnp.float32).reshape(-1)
+                out = jnp.zeros((flat_tokens * 2,), jnp.float32)
+                return jax.lax.dynamic_update_slice(out, flat, (0,))
 
-        def _labels_step(params, ids_i8, quals_u8):
-            logits = _apply(params, ids_i8, quals_u8)
-            labels = jnp.argmax(logits, axis=-1).astype(jnp.int8)
-            out = jnp.zeros((flat_tokens,), jnp.int8)
-            return jax.lax.dynamic_update_slice(out, labels.reshape(-1), (0,))
+            def _labels_step(params, ids_i8, quals_u8):
+                logits = _apply(params, ids_i8, quals_u8)
+                labels = jnp.argmax(logits, axis=-1).astype(jnp.int8)
+                out = jnp.zeros((flat_tokens,), jnp.int8)
+                return jax.lax.dynamic_update_slice(out, labels.reshape(-1), (0,))
+
+        else:
+            # Mesh: keep outputs batch-sharded — a replicated flat buffer
+            # would all-gather the full logits to every device each step.
+            def _logits_step(params, ids_i8, quals_u8):
+                return _apply(params, ids_i8, quals_u8).astype(jnp.float32)
+
+            def _labels_step(params, ids_i8, quals_u8):
+                logits = _apply(params, ids_i8, quals_u8)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int8)
 
         self._step_fn = _labels_step if return_labels else _logits_step
         if mesh is not None:
@@ -149,7 +162,7 @@ class PredictEngine:
                         batch_sharding(self.mesh),
                         batch_sharding(self.mesh),
                     ),
-                    out_shardings=replicated_sharding(self.mesh),
+                    out_shardings=batch_sharding(self.mesh),
                 )
             else:
                 fn = jax.jit(self._step_fn)
@@ -265,9 +278,11 @@ class PredictEngine:
         self.stats.elapsed_s += time.monotonic() - t_start
 
     def _unpack(self, batch: Batch, out_dev, padded_shape) -> tuple[Batch, np.ndarray]:
-        """Slice the canonical flat device buffer back to this batch's rows."""
+        """Slice the device output back to this batch's rows."""
         pb_b, w = padded_shape
         b = batch.input_ids.shape[0]
+        if self.mesh is not None:
+            return batch, np.asarray(out_dev)[:b]
         flat = np.asarray(out_dev)
         if self.return_labels:
             return batch, flat[: pb_b * w].reshape(pb_b, w)[:b]
