@@ -38,7 +38,7 @@ from .io.parquet import (
     write_json,
     write_parquet,
 )
-from .io.bam import BamRecord
+from .io.bam import BamRecord, BamWriter, left_right_soft_clip, read_bam_records, read_bam_records_parallel
 from .io.chop import (
     ChopType,
     FastqRecord,
@@ -55,7 +55,7 @@ from .io.predicts import (
     load_predicts_from_batch_pt,
     load_predicts_from_batch_pts,
 )
-from .eval.blat import PslAlignment, parse_psl_by_qname
+from .eval.blat import PslAlignment, blat_predictions, parse_psl_by_qname
 from .eval.stat import StatResult, collect_statistics_for_predicts
 from .utils.stat import summary_bam_record_len, summary_fx_record_len
 from .utils.vis import highlight_targets
@@ -89,6 +89,11 @@ __version__ = "0.1.0"
 
 __all__ = [
     "BamRecord",
+    "BamWriter",
+    "blat_predictions",
+    "left_right_soft_clip",
+    "read_bam_records",
+    "read_bam_records_parallel",
     "ChopType",
     "FastqRecord",
     "Predict",
