@@ -115,22 +115,26 @@ def causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, impl: str) ->
     """
     seq_len = v.shape[1]
     if impl in ("pallas_fft", "matmul_fft"):
-        padded = 1 << (seq_len - 1).bit_length()  # next pow2 (identity if pow2)
-        if padded != seq_len:
-            v_p = jnp.pad(v, ((0, 0), (0, padded - seq_len), (0, 0)))
-            k_p = jnp.pad(k, ((0, padded - seq_len), (0, 0)))
-            # Bias term uses the original (unpadded) v; the conv slice is exact
-            # because outputs < seq_len only touch taps/inputs < seq_len.
-            y = causal_conv(v_p, k_p, jnp.zeros_like(bias), impl)[:, :seq_len]
-            return y + v.astype(jnp.float32) * bias[None, None, :]
+        n = 2 * seq_len
         if impl == "pallas_fft":
             from ..ops import pallas_fft
 
-            if 2 * seq_len >= pallas_fft.MIN_N and jax.default_backend() == "tpu":
+            if n >= pallas_fft.MIN_N and n % 512 == 0 and jax.default_backend() == "tpu":
                 return pallas_fft.fft_causal_conv_pallas(v, k, bias)
-        from ..ops.fft import fft_causal_conv_matmul
+        from ..ops.fft import _split as _mm_split, fft_causal_conv_matmul
 
-        return fft_causal_conv_matmul(v, k, bias)
+        try:
+            _mm_split(n)
+            return fft_causal_conv_matmul(v, k, bias)
+        except ValueError:
+            # Length the four-step split can't factor: pad up to the next
+            # multiple of 256 (or pow2 for tiny L) and slice back — exact
+            # because outputs < seq_len only touch taps/inputs < seq_len.
+            padded = max(256, -(-seq_len // 256) * 256)
+            v_p = jnp.pad(v, ((0, 0), (0, padded - seq_len), (0, 0)))
+            k_p = jnp.pad(k, ((0, padded - seq_len), (0, 0)))
+            y = causal_conv(v_p, k_p, jnp.zeros_like(bias), impl)[:, :seq_len]
+            return y + v.astype(jnp.float32) * bias[None, None, :]
     return fft_causal_conv(v, k, bias)
 
 

@@ -27,12 +27,22 @@ import numpy as np
 
 
 def _split(n: int) -> tuple[int, int]:
-    """Factor N = n1 * n2 with n1, n2 as close as possible (powers of two)."""
-    log = int(math.log2(n))
-    if 2**log != n:
-        raise ValueError(f"matmul FFT requires power-of-two length, got {n}")
-    n1 = 1 << (log // 2)
-    return n1, n // n1
+    """Factor N = n1 * n2 for the four-step transform.
+
+    The math works for ANY factorization (DFT matrices of size n1/n2, twiddle
+    W_N) — not just powers of two. n1 (the lane dim downstream) picks the
+    largest of 128/64/32 that divides N with n2 staying a multiple of 8, so
+    every bucket width (multiples of 256 -> N multiples of 512) runs an
+    exact-length transform instead of padding to the next power of two.
+    """
+    for n1 in (128, 64, 32, 16, 8):
+        n2, rem = divmod(n, n1)
+        if rem == 0 and n2 % 8 == 0 and n2 >= 8:
+            # Prefer balanced-ish stages: per-element MACs scale with n1 + n2
+            # across the two contractions, so avoid a huge n1 for small N.
+            if n1 * n1 <= 4 * n:
+                return n1, n2
+    raise ValueError(f"matmul FFT needs N = n1*n2 with n2 a multiple of 8, got {n}")
 
 
 @functools.lru_cache(maxsize=32)

@@ -57,18 +57,28 @@ MIN_N = 512
 def _split(n: int) -> tuple[int, int]:
     """Factor N = n1 * n2 with the minor digit n1 sized for the lane dim.
 
-    n1 is the lane dimension of every in-kernel array, so it is pinned to
-    the hardware-friendly 64 (128 for large N) rather than sqrt(N).
+    The four-step math holds for ANY factorization, so N only needs to be a
+    multiple of 512 (n1=64 with n2 a multiple of 8) — every bucket width
+    (multiples of 256) runs an exact-length transform, no pow2 padding.
+    n1 is pinned to 64: the kernel's MAC count scales as n2/2 + 4*n1, so the
+    smallest lane-friendly n1 wins now that the dots run 3-pass float32
+    (n1=128 was only competitive under single-pass bf16).
     """
-    log = int(math.log2(n))
-    if 2**log != n:
-        raise ValueError(f"pallas FFT conv requires power-of-two length, got {n}")
-    if n < MIN_N:
-        raise ValueError(f"pallas FFT conv requires N >= {MIN_N}, got {n}")
-    # n1 = 128 fills the MXU (the n1-contractions carry ~90% of the MACs);
-    # smaller N cannot afford it because n2 = N/n1 must keep h = n2/2 >= 4.
-    n1 = 128 if n >= 2048 else 64
-    return n1, n // n1
+    if n < MIN_N or n % 512 != 0:
+        raise ValueError(f"pallas FFT conv requires N >= {MIN_N} and N % 512 == 0, got {n}")
+    import os
+
+    forced = os.environ.get("DEEPCHOPPER_FFT_N1")
+    if forced:
+        n1 = int(forced)
+        if n % n1 == 0 and (n // n1) % 2 == 0:
+            return n1, n // n1
+    # n1 = 128 matches the MXU contraction width (a 64-wide contraction runs
+    # at half utilization, outweighing its ~2x lower MAC count — measured on
+    # v5e); fall back to 64 when n2 = n/128 would be odd or < 8.
+    if n % 128 == 0 and (n // 128) % 2 == 0 and n // 128 >= 8:
+        return 128, n // 128
+    return 64, n // 64
 
 
 @functools.lru_cache(maxsize=32)
