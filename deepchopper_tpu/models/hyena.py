@@ -119,7 +119,11 @@ def causal_conv(v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, impl: str) ->
         if impl == "pallas_fft":
             from ..ops import pallas_fft
 
-            if n >= pallas_fft.MIN_N and n % 512 == 0 and jax.default_backend() == "tpu":
+            if (
+                pallas_fft.MIN_N <= n <= pallas_fft.MAX_N
+                and n % 512 == 0
+                and jax.default_backend() == "tpu"
+            ):
                 return pallas_fft.fft_causal_conv_pallas(v, k, bias)
         from ..ops.fft import _split as _mm_split, fft_causal_conv_matmul
 

@@ -52,6 +52,9 @@ from jax.experimental.pallas import tpu as pltpu
 # Smallest padded length the kernel supports (bucket width 256); shorter
 # inputs fall back to the XLA matmul FFT.
 MIN_N = 512
+# Largest: beyond this the per-channel DFT tables ((n2, n2/2) float32 pairs)
+# outgrow VMEM; the 160k-1M context configs fall back to the matmul FFT.
+MAX_N = 65536
 
 
 def _split(n: int) -> tuple[int, int]:
@@ -64,8 +67,10 @@ def _split(n: int) -> tuple[int, int]:
     smallest lane-friendly n1 wins now that the dots run 3-pass float32
     (n1=128 was only competitive under single-pass bf16).
     """
-    if n < MIN_N or n % 512 != 0:
-        raise ValueError(f"pallas FFT conv requires N >= {MIN_N} and N % 512 == 0, got {n}")
+    if not (MIN_N <= n <= MAX_N) or n % 512 != 0:
+        raise ValueError(
+            f"pallas FFT conv requires {MIN_N} <= N <= {MAX_N} with N % 512 == 0, got {n}"
+        )
     import os
 
     forced = os.environ.get("DEEPCHOPPER_FFT_N1")
