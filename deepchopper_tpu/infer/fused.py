@@ -191,15 +191,24 @@ def fused_predict_chop(
         with open_bgzf_writer(temp_output, threads=opts.threads) as writer:
             worker = threading.Thread(target=_worker, name="fused-chop", daemon=True)
             worker.start()
-            for batch, labels in engine.predict_batches(source.batches()):
-                t0 = time.monotonic()
-                stats.device_s += t0 - t_last  # approx: time blocked in iterator
-                if worker_err:
-                    break
-                work.put((batch, labels))
-                t_last = time.monotonic()
-            work.put(None)
-            worker.join()
+            try:
+                for batch, labels in engine.predict_batches(source.batches()):
+                    t0 = time.monotonic()
+                    stats.device_s += t0 - t_last  # approx: time blocked in iterator
+                    if worker_err:
+                        break
+                    work.put((batch, labels))
+                    t_last = time.monotonic()
+            finally:
+                # Stop the worker BEFORE the writer closes, even on error.
+                # (A dead worker leaves the queue full: never block on put.)
+                while worker.is_alive():
+                    try:
+                        work.put(None, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                worker.join()
             if worker_err:
                 raise worker_err[0]
             while order:
