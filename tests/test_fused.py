@@ -95,3 +95,27 @@ def test_fused_stats_stages(tmp_path, tiny_engine):
     assert stats.predicts_loaded == 30
     assert stats.elapsed_s > 0
     assert stats.device_s >= 0 and stats.smooth_s >= 0 and stats.chop_write_s >= 0
+
+
+def test_shard_path_matches_fused(tmp_path, tiny_engine):
+    """predict_file -> run_chop must byte-match the fused single pass."""
+    from deepchopper_tpu.chop.pipeline import run_chop
+
+    rng = np.random.default_rng(21)
+    fq = tmp_path / "x.fq"
+    _write_fastq(fq, rng, n=50, min_len=60, max_len=240)
+
+    # Shard path needs a logits engine (the chop loader argmaxes).
+    logits_engine = PredictEngine(
+        tiny_engine.bundle,
+        max_length=256,
+        tokens_per_batch=1 << 12,
+        buckets=[64, 128, 256],
+        return_labels=False,
+    )
+    logits_engine.predict_file(fq, tmp_path / "shards", rank=0)
+    st_a = run_chop(
+        [tmp_path / "shards" / "0"], fq, ChopOptions(output_prefix=str(tmp_path / "a"))
+    )
+    st_b = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "b")))
+    assert gzip.open(st_a.output_file, "rb").read() == gzip.open(st_b.output_file, "rb").read()
