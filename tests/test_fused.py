@@ -119,3 +119,21 @@ def test_shard_path_matches_fused(tmp_path, tiny_engine):
     )
     st_b = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "b")))
     assert gzip.open(st_a.output_file, "rb").read() == gzip.open(st_b.output_file, "rb").read()
+
+
+def test_fused_gzip_input(tmp_path, tiny_engine):
+    """The span source must stream compressed FASTQ transparently."""
+    import gzip as _gz
+
+    rng = np.random.default_rng(31)
+    fq = tmp_path / "z.fq"
+    _write_fastq(fq, rng, n=40, min_len=60, max_len=200)
+    fqgz = tmp_path / "z.fq.gz"
+    fqgz.write_bytes(_gz.compress(fq.read_bytes()))
+
+    st_plain = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "p")))
+    st_gz = fused_predict_chop(tiny_engine, fqgz, ChopOptions(output_prefix=str(tmp_path / "g")))
+    assert (
+        gzip.open(st_plain.output_file, "rb").read()
+        == gzip.open(st_gz.output_file, "rb").read()
+    )
