@@ -202,9 +202,27 @@ def cmd_predict(args: argparse.Namespace) -> int:
         return_labels=args.fused_chop,
     )
     if args.fused_chop:
+        import jax
+
         from . import native
         from .infer.fused import fused_predict_chop
 
+        if jax.process_count() > 1:
+            # Multi-host: each host predicts its input shard (the labels-path
+            # shards are valid chop inputs); after a global barrier, host 0
+            # merges every rank's shards at the chop stage (the reference's
+            # DDP predict->chop contract).
+            engine.predict_file(args.data_path, args.output, max_samples=args.max_sample)
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("deepchopper_predict_done")
+            if jax.process_index() == 0:
+                stats = run_chop([Path(args.output) / "0"], args.fq or args.data_path, ChopOptions())
+                print(
+                    f"chopped {stats.total_fq_count} reads -> "
+                    f"{stats.total_output_count} records -> {stats.output_file}"
+                )
+            return 0
         if args.fq is not None and args.fq != args.data_path:
             # The streamed runner predicts and chops the same stream; a
             # different qualities file needs the two-phase path.

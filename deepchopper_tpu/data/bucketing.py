@@ -65,12 +65,13 @@ _BUCKET_LADDER = [
 def default_buckets(max_length: int = 32768, min_width: int = 256) -> list[int]:
     """Bucket widths up to max_length (always included).
 
-    Fine-grained (multiples of 256) below 8k where most nanopore read lengths
-    land, coarser above — a mean-1200-base read pads to 1280 (~6% waste)
-    instead of the next power of two (2048, ~41% waste). Non-pow2 widths cost
-    nothing extra in the FFT conv: models.hyena.causal_conv zero-pads the FFT
-    to the next pow2 internally, so only the O(L*D) projections/head scale
-    with the true width. Widths stay multiples of 256 for lane alignment.
+    Fine-grained (multiples of 256) through the nanopore read-length bulk,
+    coarser above — a mean-1200-base read pads to 1280 (~6% waste) instead of
+    the next power of two (2048, ~41% waste). Non-pow2 widths cost nothing
+    extra: the FFT conv kernels run mixed-radix at exactly N = 2W for any
+    multiple of 256 (ops/pallas_fft._split). A denser (step-256) ladder was
+    measured SLOWER end-to-end: per-bucket tail batches outweigh the in-row
+    padding gain, so the ladder stays at 17 entries.
     """
     buckets = [w for w in _BUCKET_LADDER if min_width <= w < max_length]
     if max_length > (buckets[-1] if buckets else 0):

@@ -64,13 +64,13 @@ def iter_encoded_reads(
     the chop stage, reference: deepchopper/models/callbacks.py:25).
     """
     rank, count = shard or (0, 1)
-    taken = 0
     for i, rec in enumerate(parse_fastq_file(file_path, has_targets)):
+        # max_samples limits the GLOBAL read count (before sharding), so a
+        # sharded multi-host run processes the same data volume as single-host.
+        if max_samples is not None and i >= max_samples:
+            return
         if count > 1 and i % count != rank:
             continue
-        if max_samples is not None and taken >= max_samples:
-            return
-        taken += 1
         yield encode_read(rec["id"], rec["seq"], rec["qual"], rec["target"], max_length)
 
 

@@ -180,8 +180,12 @@ class DataModule:
         directory is not writable.
         """
         paths = self._split_cache_paths()
-        if all(p.exists() for p in paths.values()):
+        cache_dir = paths["train"].parent
+        if cache_dir.is_dir() and all(p.exists() for p in paths.values()):
             return paths
+        import os as _os
+        import shutil
+
         import pyarrow.parquet as pq
 
         from ..io.parquet import _arrow_schema
@@ -191,8 +195,11 @@ class DataModule:
         member = np.empty(n, np.int8)
         for si, w in enumerate(("train", "val", "test")):
             member[getattr(split, w)] = si
+        # Write into a temp dir and rename it into place: a crash mid-write
+        # must never leave a partial cache that later runs would trust.
+        tmp_dir = cache_dir.with_name(cache_dir.name + f".tmp{_os.getpid()}")
         try:
-            paths["train"].parent.mkdir(parents=True, exist_ok=True)
+            tmp_dir.mkdir(parents=True, exist_ok=True)
             writers = {}
             buffers: dict[str, list[dict]] = {w: [] for w in paths}
             schema = _arrow_schema()
@@ -203,7 +210,7 @@ class DataModule:
                 import pyarrow as pa
 
                 if w not in writers:
-                    writers[w] = pq.ParquetWriter(paths[w], schema)
+                    writers[w] = pq.ParquetWriter(tmp_dir / paths[w].name, schema)
                 writers[w].write_table(pa.Table.from_pylist(buffers[w], schema=schema))
                 buffers[w] = []
 
@@ -215,12 +222,14 @@ class DataModule:
             for w in paths:
                 flush(w)
                 if w not in writers:  # empty split still needs a valid file
-                    writers[w] = pq.ParquetWriter(paths[w], schema)
+                    writers[w] = pq.ParquetWriter(tmp_dir / paths[w].name, schema)
                 writers[w].close()
+            if cache_dir.exists():
+                shutil.rmtree(cache_dir)
+            _os.replace(tmp_dir, cache_dir)
             return paths
-        except OSError:
-            for p in paths.values():
-                p.unlink(missing_ok=True)
+        except Exception:  # noqa: BLE001 - fall back to in-stream filtering
+            shutil.rmtree(tmp_dir, ignore_errors=True)
             return None
 
     def _iter_source_rows(self) -> Iterator[dict]:

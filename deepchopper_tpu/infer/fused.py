@@ -197,7 +197,17 @@ def fused_predict_chop(
                     stats.device_s += t0 - t_last  # approx: time blocked in iterator
                     if worker_err:
                         break
-                    work.put((batch, labels))
+                    # Timeout-put: a dead worker leaves the queue full, and a
+                    # blocking put would deadlock instead of surfacing its error.
+                    while True:
+                        try:
+                            work.put((batch, labels), timeout=0.5)
+                            break
+                        except queue.Full:
+                            if worker_err:
+                                break
+                    if worker_err:
+                        break
                     t_last = time.monotonic()
             finally:
                 # Stop the worker BEFORE the writer closes, even on error.

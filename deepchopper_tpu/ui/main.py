@@ -36,8 +36,14 @@ def predict_record(
     smooth_window_size: int = default.SMOOTH_WINDOW_SIZE,
     min_interval_size: int = default.MIN_INTERVAL_SIZE,
     approved_interval_number: int = default.APPROVED_INTERVAL_NUMBER,
+    torch_checkpoint: str | None = None,
+    random_init: bool = False,
 ) -> dict:
-    """Predict + smooth + chop one pasted record; returns display payload."""
+    """Predict + smooth + chop one pasted record; returns display payload.
+
+    With `bundle=None`, weights must come from `torch_checkpoint` or
+    `random_init=True` — missing weights are a hard error by design.
+    """
     import jax.numpy as jnp
 
     from ..models.registry import DeepChopper
@@ -45,7 +51,9 @@ def predict_record(
     rid, seq, qual = parse_fq_record(text)
     seq = normalize_seq(seq)
     if bundle is None:
-        bundle = DeepChopper.from_pretrained("rna002")
+        bundle = DeepChopper.from_pretrained(
+            "rna002", torch_checkpoint=torch_checkpoint, random_init=random_init
+        )
     enc = encode_read(rid, seq, encode_qual(qual), None, max_length=32768)
     ids = jnp.asarray(enc.input_ids[None, :])
     quals = jnp.asarray(enc.quals[None, :])

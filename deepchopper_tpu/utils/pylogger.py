@@ -47,12 +47,24 @@ _SUPPRESSED: list[tuple[type[Warning], str]] = [
 ]
 
 
+_SAVED_FILTERS: list | None = None
+
+
 def suppress_warnings(verbose: bool = False) -> None:
-    """Install the curated warning filters; `verbose=True` restores defaults
-    (reference contract: deepchopper/cli.py:92-94 --verbose)."""
+    """Install the curated warning filters; `verbose=True` removes them again
+    (reference contract: deepchopper/cli.py:92-94 --verbose).
+
+    Only OUR filters are added/removed — never `warnings.resetwarnings()`,
+    which would wipe the user's -W/PYTHONWARNINGS configuration too.
+    """
+    global _SAVED_FILTERS
     if verbose:
-        warnings.resetwarnings()
+        if _SAVED_FILTERS is not None:
+            warnings.filters[:] = _SAVED_FILTERS
+            _SAVED_FILTERS = None
         return
+    if _SAVED_FILTERS is None:
+        _SAVED_FILTERS = list(warnings.filters)
     for category, pattern in _SUPPRESSED:
         warnings.filterwarnings("ignore", message=pattern, category=category)
     logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
