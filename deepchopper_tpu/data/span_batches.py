@@ -25,7 +25,7 @@ from .. import default, native
 from ..io.fastq import open_compressed_reader
 from .bucketing import default_buckets
 
-_CHUNK_BYTES = 32 << 20
+_CHUNK_BYTES = 8 << 20
 
 
 @dataclasses.dataclass

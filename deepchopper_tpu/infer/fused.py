@@ -111,9 +111,14 @@ def fused_predict_chop(
     fq_path: str | Path,
     opts: ChopOptions | None = None,
     max_samples: int | None = None,
-    chunk_bytes: int = 32 << 20,
+    chunk_bytes: int = 2 << 20,
 ) -> FusedStats:
-    """Run the full fused pipeline; returns stats with a stage breakdown."""
+    """Run the full fused pipeline; returns stats with a stage breakdown.
+
+    Small chunks keep several in flight even for modest inputs, so completed
+    chunks chop+write on the worker while later ones are still predicting;
+    max_lag scales inversely so live chunk memory stays ~32MB regardless.
+    """
     if not engine.return_labels:
         raise ValueError("construct PredictEngine(return_labels=True) for the fused path")
     opts = opts or ChopOptions()
@@ -131,6 +136,7 @@ def fused_predict_chop(
         max_samples=max_samples,
         chunk_bytes=chunk_bytes,
         on_chunk=order.append,
+        max_lag_chunks=max(2, (32 << 20) // chunk_bytes),
     )
 
     if opts.output_prefix is not None:
