@@ -249,71 +249,48 @@ class PredictEngine:
             if batch.quals_raw is None:
                 raise ValueError("engine requires batches with quals_raw (see pad_batch)")
             quals8 = batch.quals_raw
-            handles = []
-            for s, e, v in self._tail_pieces(b, w):
-                if e - s < v:
-                    ids_in = np.full((v, w), default.TOKEN_PAD, np.int8)
-                    ids_in[: e - s] = ids8[s:e]
-                    quals_in = np.zeros((v, w), np.uint8)
-                    quals_in[: e - s] = quals8[s:e]
-                else:
-                    ids_in, quals_in = ids8[s:e], quals8[s:e]
-                step = self._get_step((v, w))
-                out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
-                try:
-                    out_dev.copy_to_host_async()  # overlap D2H with later dispatches
-                except Exception:  # pragma: no cover - runtime-dependent
-                    pass
-                handles.append((out_dev, v, e - s))
-                self.stats.padded_tokens += v * w
-            pending.append((batch, handles, w))
+            # One dispatch per batch, padded to the smallest compiled row
+            # variant that fits. (Decomposing tails into multiple smaller
+            # dispatches was measured SLOWER end-to-end: ~30ms per-dispatch
+            # overhead on the tunneled chip outweighs the padding saved.)
+            target_b = next(
+                (v for v in self._row_variants(w) if v >= b),
+                self._bucket_batch_size(w),
+            )
+            if b < target_b:
+                ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
+                ids_in[:b] = ids8
+                quals_in = np.zeros((target_b, w), np.uint8)
+                quals_in[:b] = quals8
+            else:
+                ids_in, quals_in = ids8, quals8
+            step = self._get_step(ids_in.shape)
+            out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
+            try:
+                out_dev.copy_to_host_async()  # overlap D2H with later dispatches
+            except Exception:  # pragma: no cover - runtime-dependent
+                pass
+            pending.append((batch, out_dev, ids_in.shape))
             self.stats.batches += 1
             self.stats.reads += b
             self.stats.tokens += int(batch.lengths.sum())
+            self.stats.padded_tokens += ids_in.shape[0] * ids_in.shape[1]
             if len(pending) > depth:
                 yield self._unpack(*pending.popleft())
         while pending:
             yield self._unpack(*pending.popleft())
         self.stats.elapsed_s += time.monotonic() - t_start
 
-    def _tail_pieces(self, b: int, width: int) -> list[tuple[int, int, int]]:
-        """Decompose a batch's rows into compiled-variant-sized dispatches.
-
-        Full batches are one piece. A tail batch splits greedily into the
-        largest variants that fit, so e.g. 100 rows run as 51+51 instead of
-        padding up to the 204-row target — tail padding waste drops from
-        ~2x to a few rows. Returns (row_start, row_end, padded_rows) tuples.
-        """
-        variants = self._row_variants(width)
-        target = variants[-1]
-        if b >= target:
-            return [(0, b, target)]
-        pieces: list[tuple[int, int, int]] = []
-        start = 0
-        rem = b
-        for v in reversed(variants):
-            while rem >= v:
-                pieces.append((start, start + v, v))
-                start += v
-                rem -= v
-        if rem:
-            v = next(x for x in variants if x >= rem)
-            pieces.append((start, start + rem, v))
-        return pieces
-
-    def _unpack(self, batch: Batch, handles, w: int) -> tuple[Batch, np.ndarray]:
-        """Fetch and reassemble per-piece device outputs to this batch's rows."""
-        outs = []
-        for out_dev, v, n in handles:
-            if self.mesh is not None:
-                outs.append(np.asarray(out_dev)[:n])
-                continue
-            flat = np.asarray(out_dev)
-            if self.return_labels:
-                outs.append(flat[: v * w].reshape(v, w)[:n])
-            else:
-                outs.append(flat[: v * w * 2].reshape(v, w, 2)[:n])
-        return batch, outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+    def _unpack(self, batch: Batch, out_dev, padded_shape) -> tuple[Batch, np.ndarray]:
+        """Slice the device output back to this batch's rows."""
+        pb_b, w = padded_shape
+        b = batch.input_ids.shape[0]
+        if self.mesh is not None:
+            return batch, np.asarray(out_dev)[:b]
+        flat = np.asarray(out_dev)
+        if self.return_labels:
+            return batch, flat[: pb_b * w].reshape(pb_b, w)[:b]
+        return batch, flat[: pb_b * w * 2].reshape(pb_b, w, 2)[:b]
 
     def predict_file(
         self,

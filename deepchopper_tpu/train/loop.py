@@ -223,7 +223,10 @@ class Trainer:
     def _device_batch(self, batch) -> dict[str, jnp.ndarray]:
         n = self.mesh.devices.size
         b = batch.input_ids.shape[0]
-        pad = (-b) % n
+        # Round the batch axis up to a multiple of max(mesh, 8): tail batches
+        # otherwise produce a fresh shape (= fresh XLA compile) every epoch.
+        step_mult = max(n, 8)
+        pad = (-b) % step_mult
         ids, quals, labels = batch.input_ids, batch.quals, batch.labels
         if pad:
             from .. import default
