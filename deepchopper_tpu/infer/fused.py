@@ -50,12 +50,52 @@ class FusedStats(ChopStats):
     chop_write_s: float = 0.0  # worker: record split + BGZF write (overlaps device)
 
 
+_CHOP_TYPE_CODE = {ChopType.ALL: 0, ChopType.TERMINAL: 1, ChopType.INTERNAL: 2}
+
+
 def _chop_chunk(chunk: FastqChunk, opts: ChopOptions, writer, stats: FusedStats) -> None:
     """Chop one completed chunk in record order, writing to `writer`.
 
     Per-read guard rails (reference: src/bin/predict.rs:141-164): short read,
     no/too-many intervals, or truncated prediction -> passthrough unchanged.
+    Dispatches to the C++ chop kernel (native.chop_records — GIL-free, so it
+    overlaps the feed thread) with the Python loop as fallback/oracle.
     """
+    if native.available():
+        pairs: list[int] = []
+        offs = np.empty(chunk.n_records, np.int64)
+        cnts = np.empty(chunk.n_records, np.int64)
+        trunc = np.empty(chunk.n_records, np.uint8)
+        for row in range(chunk.n_records):
+            is_trunc, kept = chunk.intervals[row]
+            offs[row] = len(pairs) // 2
+            cnts[row] = len(kept)
+            trunc[row] = int(is_trunc)
+            for s, e in kept:
+                pairs.append(s)
+                pairs.append(e)
+        result = native.chop_records(
+            chunk.buf,
+            chunk.spans,
+            np.asarray(pairs, np.int64),
+            offs,
+            cnts,
+            trunc,
+            opts.min_read_len,
+            opts.max_process_intervals,
+            opts.min_read_length_after_chop,
+            opts.output_chopped_seqs,
+            _CHOP_TYPE_CODE[opts.chop_type],
+            opts.id_annotation,
+        )
+        if result is not None:
+            data, n_out = result
+            writer.write(data)
+            stats.total_fq_count += chunk.n_records
+            stats.total_output_count += n_out
+            chunk.buf = None
+            chunk.spans = None
+            return
     buf = chunk.buf
     mv = memoryview(buf)  # zero-copy byte slicing
     for row in range(chunk.n_records):

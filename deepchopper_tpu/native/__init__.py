@@ -85,6 +85,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     ]
     lib.label_regions.restype = ctypes.c_longlong
     lib.label_regions.argtypes = [_i8p, ctypes.c_longlong, _i64p, ctypes.c_longlong]
+    lib.chop_records.restype = ctypes.c_longlong
+    lib.chop_records.argtypes = [
+        _u8p, _i64p, ctypes.c_longlong,
+        _i64p, _i64p, _i64p, _u8p,
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _u8p, ctypes.c_longlong, ctypes.POINTER(ctypes.c_longlong),
+    ]
     lib.bgzf_block.restype = ctypes.c_longlong
     lib.bgzf_block.argtypes = [_u8p, ctypes.c_longlong, _u8p, ctypes.c_int]
     lib.bgzf_compress_buffer.restype = ctypes.c_longlong
@@ -235,6 +243,51 @@ def label_regions(labels: np.ndarray, max_regions: int | None = None) -> list[tu
     out = np.empty(2 * max_regions, np.int64)
     n = lib.label_regions(labels, labels.size, out, max_regions)
     return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]
+
+
+def chop_records(
+    buf: np.ndarray,
+    spans: np.ndarray,
+    ivals: np.ndarray,
+    ival_off: np.ndarray,
+    ival_cnt: np.ndarray,
+    truncated: np.ndarray,
+    min_read_len: int,
+    max_process_intervals: int,
+    min_chop_len: int,
+    ocq: bool,
+    chop_type: int,
+    id_annotation: bool,
+) -> tuple[bytes, int] | None:
+    """Chop one indexed chunk entirely in C++; returns (fastq bytes, records).
+
+    Returns None when the kernel reports an out-of-range interval (caller
+    falls back to the Python path, which raises the contractual error).
+    """
+    lib = get_lib()
+    assert lib is not None
+    n = spans.shape[0]
+    ivals = np.ascontiguousarray(ivals.reshape(-1), np.int64)
+    cap = int(buf.size + n * 96 + ivals.size * 96 + 1024)
+    spans_flat = np.ascontiguousarray(spans.reshape(-1), np.int64)
+    off = np.ascontiguousarray(ival_off, np.int64)
+    cnt = np.ascontiguousarray(ival_cnt, np.int64)
+    trunc = np.ascontiguousarray(truncated, np.uint8)
+    while True:
+        out = np.empty(cap, np.uint8)
+        n_out = ctypes.c_longlong(0)
+        rc = lib.chop_records(
+            buf, spans_flat, n, ivals, off, cnt, trunc,
+            min_read_len, max_process_intervals, min_chop_len,
+            int(ocq), chop_type, int(id_annotation),
+            out, cap, ctypes.byref(n_out),
+        )
+        if rc == -1:
+            cap *= 2
+            continue
+        if rc < 0:
+            return None
+        return out[:rc].tobytes(), int(n_out.value)
 
 
 def bgzf_compress(data: bytes | np.ndarray, level: int = 6,

@@ -16,6 +16,7 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <functional>
 #include <mutex>
@@ -132,13 +133,18 @@ void encode_read(const uint8_t* seq, const uint8_t* qual, long long n,
   }
 }
 
-// Normalize bases in place: anything not ACGT (case-folded) becomes 'N',
-// lowercase becomes uppercase (reference: `normalize_seq`).
+// Normalize one base like the Python LUT (ops/sequence._build_normalize_lut):
+// uppercase fold, U/u -> T, anything else non-ACGT -> N.
+static uint8_t norm_base(uint8_t c) {
+  uint8_t u = c & 0xDF;
+  if (u == 'A' || u == 'C' || u == 'G' || u == 'T') return u;
+  if (u == 'U') return 'T';
+  return 'N';
+}
+
+// Normalize bases in place (reference: `normalize_seq`).
 void normalize_seq_inplace(uint8_t* seq, long long n) {
-  for (long long i = 0; i < n; ++i) {
-    uint8_t u = seq[i] & 0xDF;
-    seq[i] = (u == 'A' || u == 'C' || u == 'G' || u == 'T') ? u : 'N';
-  }
+  for (long long i = 0; i < n; ++i) seq[i] = norm_base(seq[i]);
 }
 
 // normalize-then-tokenize in one step: matches the Python pipeline's
@@ -284,6 +290,182 @@ long long label_regions(const int8_t* labels, long long n, long long* out,
     cnt++;
   }
   return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// Chunk chop: the full per-read split/annotate/passthrough stage in one call
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ChopOut {
+  uint8_t* out;
+  long long cap;
+  long long len = 0;
+  bool overflow = false;
+
+  void put(const uint8_t* p, long long n) {
+    if (len + n > cap) { overflow = true; return; }
+    memcpy(out + len, p, n);
+    len += n;
+  }
+  void put_byte(uint8_t c) {
+    if (len + 1 > cap) { overflow = true; return; }
+    out[len++] = c;
+  }
+  void put_norm(const uint8_t* p, long long n) {
+    if (len + n > cap) { overflow = true; return; }
+    for (long long i = 0; i < n; ++i) out[len + i] = norm_base(p[i]);
+    len += n;
+  }
+  void put_int(long long v) {
+    char tmp[24];
+    int n = snprintf(tmp, sizeof tmp, "%lld", v);
+    put(reinterpret_cast<const uint8_t*>(tmp), n);
+  }
+};
+
+}  // namespace
+
+// Chop a chunk of indexed FASTQ records given per-read adapter intervals.
+// Byte-for-byte identical to the Python chop stage (io/chop.py +
+// infer/fused._chop_chunk; reference semantics: src/output/split.rs:171-226,
+// src/bin/predict.rs:141-164):
+//   * guard-rail passthrough (short read / zero or >mpi intervals / truncated
+//     prediction): raw bytes, full header;
+//   * --ocq: emit the adapter segments themselves, normalized seq, name-only
+//     ids "<name>|s:e";
+//   * otherwise: interval complement with the total_length-1 trailing trim,
+//     min-length filter, "<name>|s:e|T/I" annotation; chop-type mismatch or
+//     first kept part spanning the whole read => normalized-seq passthrough
+//     under the name-only id.
+// ivals: flattened (start, end) pairs; per read `ival_off[i]` (pair index)
+// and `ival_cnt[i]` pairs. chop_type: 0=all 1=terminal 2=internal.
+// Returns bytes written, or -1 on output overflow, -(i+10) on an interval
+// outside read i's sequence (caller falls back to the Python path).
+long long chop_records(const uint8_t* buf, const int64_t* spans,
+                       long long n_records, const int64_t* ivals,
+                       const int64_t* ival_off, const int64_t* ival_cnt,
+                       const uint8_t* truncated, long long min_read_len,
+                       long long max_process_intervals, long long min_chop_len,
+                       int ocq, int chop_type, int id_annotation,
+                       uint8_t* out, long long out_cap,
+                       long long* out_records) {
+  ChopOut o{out, out_cap};
+  long long written = 0;
+  for (long long i = 0; i < n_records; ++i) {
+    const int64_t* sp = spans + 8 * i;
+    const long long id_off = sp[0], name_len = sp[1];
+    const long long s_off = sp[2], s_len = sp[3];
+    const long long q_off = sp[4], q_len = sp[5];
+    const long long d_off = sp[6], d_len = sp[7];
+    const long long header_end = d_off >= 0 ? d_off + d_len : id_off + name_len;
+    const long long cnt = ival_cnt[i];
+    const int64_t* iv = ivals + 2 * ival_off[i];
+
+    if (s_len < min_read_len || cnt <= 0 || cnt > max_process_intervals ||
+        truncated[i]) {
+      // Guard-rail passthrough: raw bytes, full header line.
+      o.put_byte('@');
+      o.put(buf + id_off, header_end - id_off);
+      o.put_byte('\n');
+      o.put(buf + s_off, s_len);
+      o.put(reinterpret_cast<const uint8_t*>("\n+\n"), 3);
+      o.put(buf + q_off, q_len);
+      o.put_byte('\n');
+      written++;
+      if (o.overflow) return -1;
+      continue;
+    }
+
+    if (ocq) {  // emit the adapter segments themselves
+      for (long long k = 0; k < cnt; ++k) {
+        const long long s = iv[2 * k], e = iv[2 * k + 1];
+        o.put_byte('@');
+        o.put(buf + id_off, name_len);
+        o.put_byte('|');
+        o.put_int(s);
+        o.put_byte(':');
+        o.put_int(e);
+        o.put_byte('\n');
+        o.put_norm(buf + s_off + s, e - s);
+        o.put(reinterpret_cast<const uint8_t*>("\n+\n"), 3);
+        o.put(buf + q_off + s, e - s);
+        o.put_byte('\n');
+        written++;
+      }
+      if (o.overflow) return -1;
+      continue;
+    }
+
+    // Interval complement with the reference's trailing-base trim
+    // (src/output/split.rs:260-292). Intervals arrive sorted by start.
+    std::vector<long long> sel;
+    sel.reserve(2 * (cnt + 1));
+    long long cur = 0;
+    for (long long k = 0; k < cnt; ++k) {
+      const long long s = iv[2 * k], e = iv[2 * k + 1];
+      if (cur < s) { sel.push_back(cur); sel.push_back(s); }
+      cur = e;
+    }
+    if (cur < s_len - 1) {
+      sel.push_back(cur);
+      sel.push_back(s_len - 1);
+    }
+    const long long count_before = static_cast<long long>(sel.size()) / 2;
+    for (long long k = 0; k < count_before; ++k)
+      if (sel[2 * k] >= s_len) return -(i + 10);
+    // min-length filter
+    std::vector<long long> kept;
+    kept.reserve(sel.size());
+    for (long long k = 0; k < count_before; ++k) {
+      if (sel[2 * k + 1] - sel[2 * k] >= min_chop_len) {
+        kept.push_back(sel[2 * k]);
+        kept.push_back(sel[2 * k + 1]);
+      }
+    }
+    const long long n_kept = static_cast<long long>(kept.size()) / 2;
+    const bool is_terminal = count_before == 1;
+    const bool type_mismatch = (chop_type == 1 && !is_terminal) ||
+                               (chop_type == 2 && is_terminal);
+    const bool whole_span = n_kept > 0 && (kept[1] - kept[0]) == s_len;
+    if (type_mismatch || whole_span) {
+      // Split-stage passthrough: normalized seq, name-only id.
+      o.put_byte('@');
+      o.put(buf + id_off, name_len);
+      o.put_byte('\n');
+      o.put_norm(buf + s_off, s_len);
+      o.put(reinterpret_cast<const uint8_t*>("\n+\n"), 3);
+      o.put(buf + q_off, q_len);
+      o.put_byte('\n');
+      written++;
+      if (o.overflow) return -1;
+      continue;
+    }
+    const char suffix = is_terminal ? 'T' : 'I';
+    for (long long k = 0; k < n_kept; ++k) {
+      const long long s = kept[2 * k], e = kept[2 * k + 1];
+      o.put_byte('@');
+      o.put(buf + id_off, name_len);
+      o.put_byte('|');
+      o.put_int(s);
+      o.put_byte(':');
+      o.put_int(e);
+      if (id_annotation) {
+        o.put_byte('|');
+        o.put_byte(suffix);
+      }
+      o.put_byte('\n');
+      o.put_norm(buf + s_off + s, e - s);
+      o.put(reinterpret_cast<const uint8_t*>("\n+\n"), 3);
+      o.put(buf + q_off + s, e - s);
+      o.put_byte('\n');
+      written++;
+    }
+    if (o.overflow) return -1;
+  }
+  *out_records = written;
+  return o.len;
 }
 
 // ---------------------------------------------------------------------------

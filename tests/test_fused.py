@@ -137,3 +137,76 @@ def test_fused_gzip_input(tmp_path, tiny_engine):
         gzip.open(st_plain.output_file, "rb").read()
         == gzip.open(st_gz.output_file, "rb").read()
     )
+
+
+def test_fused_on_mesh_matches_single_device(tmp_path, tiny_engine):
+    """Fused runner over an 8-device mesh: byte-identical output."""
+    import jax
+
+    from deepchopper_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    rng = np.random.default_rng(41)
+    fq = tmp_path / "m.fq"
+    _write_fastq(fq, rng, n=48, min_len=60, max_len=240)
+
+    st_single = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "s1")))
+
+    mesh_engine = PredictEngine(
+        tiny_engine.bundle,
+        max_length=256,
+        tokens_per_batch=1 << 12,
+        buckets=[64, 128, 256],
+        return_labels=True,
+        mesh=make_mesh(8),
+    )
+    st_mesh = fused_predict_chop(mesh_engine, fq, ChopOptions(output_prefix=str(tmp_path / "s8")))
+    assert (
+        gzip.open(st_single.output_file, "rb").read()
+        == gzip.open(st_mesh.output_file, "rb").read()
+    )
+
+
+def test_native_chop_kernel_matches_python_fallback(tmp_path, tiny_engine, monkeypatch):
+    """Force the Python _chop_chunk loop and compare bytes with the C++ kernel."""
+    import deepchopper_tpu.native as native_mod
+
+    rng = np.random.default_rng(53)
+    fq = tmp_path / "k.fq"
+    # include lowercase and U bases to exercise normalization in both paths
+    with open(fq, "wb") as fh:
+        for i in range(40):
+            length = int(rng.integers(60, 500))
+            seq = "".join(rng.choice(list("ACGTacgtuUN"), length))
+            qual = "".join(chr(c) for c in rng.integers(33, 74, length))
+            fh.write(b"@kn_%d desc here\n%s\n+\n%s\n" % (i, seq.encode(), qual.encode()))
+
+    st_native = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "n")))
+    monkeypatch.setattr(native_mod, "chop_records", lambda *a, **k: None)
+    st_python = fused_predict_chop(tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "p")))
+    assert st_native.total_output_count == st_python.total_output_count
+    assert (
+        gzip.open(st_native.output_file, "rb").read()
+        == gzip.open(st_python.output_file, "rb").read()
+    )
+
+
+@pytest.mark.parametrize("opts_kw", [{"output_chopped_seqs": True}, {"chop_type": ChopType.TERMINAL}, {"min_read_len": 100}])
+def test_native_chop_kernel_matches_python_fallback_modes(tmp_path, tiny_engine, monkeypatch, opts_kw):
+    import deepchopper_tpu.native as native_mod
+
+    rng = np.random.default_rng(59)
+    fq = tmp_path / "km.fq"
+    _write_fastq(fq, rng, n=40, min_len=60, max_len=400)
+    st_native = fused_predict_chop(
+        tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "n"), **opts_kw)
+    )
+    monkeypatch.setattr(native_mod, "chop_records", lambda *a, **k: None)
+    st_python = fused_predict_chop(
+        tiny_engine, fq, ChopOptions(output_prefix=str(tmp_path / "p"), **opts_kw)
+    )
+    assert (
+        gzip.open(st_native.output_file, "rb").read()
+        == gzip.open(st_python.output_file, "rb").read()
+    )
