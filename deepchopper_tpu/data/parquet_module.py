@@ -166,7 +166,15 @@ class DataModule:
 
     def _split_cache_paths(self) -> dict[str, Path]:
         base = Path(self.train_data_path)
-        tag = f"splits_s{self.seed}_t{self.split_train:g}_v{self.split_val:g}"
+        # The tag includes the source file's size+mtime so regenerating the
+        # source in place invalidates the cache instead of silently training
+        # on stale splits (advisor finding, round 2).
+        try:
+            st = base.stat()
+            src = f"_{st.st_size}_{st.st_mtime_ns // 1_000_000}"
+        except OSError:
+            src = ""
+        tag = f"splits_s{self.seed}_t{self.split_train:g}_v{self.split_val:g}{src}"
         d = base.parent / f".{base.name}.{tag}"
         return {w: d / f"{w}.parquet" for w in ("train", "val", "test")}
 

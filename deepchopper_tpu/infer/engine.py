@@ -180,8 +180,14 @@ class PredictEngine:
         n = max(1, min(self.max_batch, self.tokens_per_batch // width))
         if self.mesh is not None:
             # The sharded batch axis must divide evenly across the mesh.
+            # Round UP, not down: producers (bucketing.iter_batches,
+            # span_batches) emit full batches of exactly
+            # min(max_batch, tokens_per_batch // width) rows, so the largest
+            # compiled variant must be >= that or a full batch falls through
+            # the row-variant lookup and dispatches with a batch axis that
+            # does not divide the mesh.
             size = self.mesh.devices.size
-            n = max(size, (n // size) * size)
+            n = ((n + size - 1) // size) * size
         return n
 
     def _row_variants(self, width: int) -> list[int]:
@@ -253,10 +259,12 @@ class PredictEngine:
             # variant that fits. (Decomposing tails into multiple smaller
             # dispatches was measured SLOWER end-to-end: ~30ms per-dispatch
             # overhead on the tunneled chip outweighs the padding saved.)
-            target_b = next(
-                (v for v in self._row_variants(w) if v >= b),
-                self._bucket_batch_size(w),
-            )
+            target_b = next((v for v in self._row_variants(w) if v >= b), None)
+            if target_b is None:
+                # Oversized batch from a foreign producer: pad its own row
+                # count up to a mesh multiple (one extra compile, no crash).
+                size = self.mesh.devices.size if self.mesh is not None else 1
+                target_b = ((b + size - 1) // size) * size
             if b < target_b:
                 ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
                 ids_in[:b] = ids8

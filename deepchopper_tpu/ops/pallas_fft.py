@@ -63,9 +63,10 @@ def _split(n: int) -> tuple[int, int]:
     The four-step math holds for ANY factorization, so N only needs to be a
     multiple of 512 (n1=64 with n2 a multiple of 8) — every bucket width
     (multiples of 256) runs an exact-length transform, no pow2 padding.
-    n1 is pinned to 64: the kernel's MAC count scales as n2/2 + 4*n1, so the
-    smallest lane-friendly n1 wins now that the dots run 3-pass float32
-    (n1=128 was only competitive under single-pass bf16).
+    n1 prefers 128 (the MXU contraction width; a 64-wide contraction runs at
+    half utilization, outweighing its ~2x lower MAC count — measured on v5e),
+    falling back to 64 when n2 = n/128 would be odd or < 8.
+    `DEEPCHOPPER_FFT_N1` forces a specific n1 for tuning.
     """
     if not (MIN_N <= n <= MAX_N) or n % 512 != 0:
         raise ValueError(

@@ -48,6 +48,7 @@ _SUPPRESSED: list[tuple[type[Warning], str]] = [
 
 
 _SAVED_FILTERS: list | None = None
+_SAVED_XLA_BRIDGE_LEVEL: int | None = None
 
 
 def suppress_warnings(verbose: bool = False) -> None:
@@ -55,16 +56,24 @@ def suppress_warnings(verbose: bool = False) -> None:
     (reference contract: deepchopper/cli.py:92-94 --verbose).
 
     Only OUR filters are added/removed — never `warnings.resetwarnings()`,
-    which would wipe the user's -W/PYTHONWARNINGS configuration too.
+    which would wipe the user's -W/PYTHONWARNINGS configuration too. The
+    jax xla_bridge logger level is saved and restored the same way so a
+    later verbose=True call gets backend messages back in-process.
     """
-    global _SAVED_FILTERS
+    global _SAVED_FILTERS, _SAVED_XLA_BRIDGE_LEVEL
+    bridge_logger = logging.getLogger("jax._src.xla_bridge")
     if verbose:
         if _SAVED_FILTERS is not None:
             warnings.filters[:] = _SAVED_FILTERS
             _SAVED_FILTERS = None
+        if _SAVED_XLA_BRIDGE_LEVEL is not None:
+            bridge_logger.setLevel(_SAVED_XLA_BRIDGE_LEVEL)
+            _SAVED_XLA_BRIDGE_LEVEL = None
         return
     if _SAVED_FILTERS is None:
         _SAVED_FILTERS = list(warnings.filters)
+    if _SAVED_XLA_BRIDGE_LEVEL is None:
+        _SAVED_XLA_BRIDGE_LEVEL = bridge_logger.level
     for category, pattern in _SUPPRESSED:
         warnings.filterwarnings("ignore", message=pattern, category=category)
-    logging.getLogger("jax._src.xla_bridge").setLevel(logging.ERROR)
+    bridge_logger.setLevel(logging.ERROR)

@@ -29,8 +29,10 @@ while kill -0 "$PID" 2>/dev/null; do
     fi
     sleep "$INTERVAL"
 done
-wait "$PID"
-RC=$?
+# Under `set -e` a bare `wait` on a failed command would exit here before
+# the summary prints; capture the status explicitly instead.
+RC=0
+wait "$PID" || RC=$?
 END=$(date +%s.%N)
 WALL=$(echo "$END $START" | awk '{printf "%.1f", $1-$2}')
 echo "measure: wall=${WALL}s peak_cpu=${PEAK_CPU}% peak_rss=${PEAK_RSS}MB rc=${RC} samples=${LOG}" >&2

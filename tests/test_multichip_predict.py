@@ -67,3 +67,51 @@ def test_sharded_batch_sizes_divide_mesh(mesh):
                            return_labels=True, mesh=mesh)
     for w in engine.buckets:
         assert engine._bucket_batch_size(w) % 8 == 0
+
+
+def test_sharded_bucket_covers_producer_full_batches(mesh):
+    """The largest compiled row variant must be >= the producer's full-batch
+    row count for EVERY bucket width — rounding the mesh multiple down left
+    e.g. width 768 at 1<<17 tokens producing 170-row batches with a 168-row
+    max variant, which then dispatched unpadded and crashed the sharded jit.
+    """
+    from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.models.registry import DeepChopper
+
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+    # Default ladder + default tokens_per_batch: the exact shipping config.
+    engine = PredictEngine(bundle, return_labels=True, mesh=mesh)
+    for w in engine.buckets:
+        producer_rows = max(1, min(engine.max_batch, engine.tokens_per_batch // w))
+        assert max(engine._row_variants(w)) >= producer_rows, w
+        assert engine._bucket_batch_size(w) % 8 == 0
+
+
+def test_sharded_predict_non_pow2_bucket_dispatch(tmp_path, mesh):
+    """End-to-end sharded dispatch through a non-pow2 bucket width whose
+    producer row count does not divide the mesh (regression for the
+    round-down crash)."""
+    from deepchopper_tpu.data.fastq_module import iter_batches
+    from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.models.registry import DeepChopper
+
+    rng = np.random.default_rng(7)
+    fq = tmp_path / "np2.fq"
+    with open(fq, "wb") as fh:
+        for i in range(22):  # 22 reads of width-bucket 192: full batch of 21+tail
+            L = 150
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), L).tobytes()
+            fh.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * L))
+
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+    # buckets=[192]: producer target = 4032//192 = 21 rows, not divisible by 8.
+    engine = PredictEngine(
+        bundle, max_length=192, tokens_per_batch=4032, buckets=[192],
+        return_labels=True, mesh=mesh,
+    )
+    seen = 0
+    batches = iter_batches(fq, max_length=192, tokens_per_batch=4032, buckets=[192])
+    for batch, labels in engine.predict_batches(batches):
+        assert labels.shape[0] == batch.input_ids.shape[0]
+        seen += labels.shape[0]
+    assert seen == 22

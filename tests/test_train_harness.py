@@ -285,3 +285,31 @@ class TestSplitMaterialization:
         monkeypatch.setattr(dm, "_iter_source_rows", boom)
         n2 = sum(1 for _ in dm._split_iter("train"))
         assert n1 == n2 == 16
+
+    def test_cache_invalidated_when_source_regenerated(self, tmp_path):
+        """Regenerating train_data_path in place must not silently reuse the
+        stale per-split cache (advisor finding, round 2): the cache tag
+        includes the source size+mtime."""
+        import os
+
+        import deepchopper_tpu.data.parquet_module as pm
+
+        fq = tmp_path / "f.fq"
+
+        def write(n):
+            with open(fq, "wb") as fh:
+                for i in range(n):
+                    fh.write(b"@rg_%d\n%s\n+\n%s\n" % (i, b"ACGT" * 20, b"I" * 80))
+
+        write(20)
+        dm1 = pm.DataModule(train_data_path=str(fq), max_length=256, shuffle_buffer=1)
+        n1 = sum(1 for _ in dm1._split_iter("train"))
+        old_dir = dm1._split_cache_paths()["train"].parent
+        assert old_dir.is_dir() and n1 == 16
+
+        write(30)  # regenerate in place with different content
+        os.utime(fq, ns=(os.stat(fq).st_mtime_ns + 2_000_000_000,) * 2)
+        dm2 = pm.DataModule(train_data_path=str(fq), max_length=256, shuffle_buffer=1)
+        assert dm2._split_cache_paths()["train"].parent != old_dir
+        n2 = sum(1 for _ in dm2._split_iter("train"))
+        assert n2 == 24  # 0.8 * 30 — fresh split of the regenerated source
