@@ -50,6 +50,24 @@ def main() -> int:
     cache_dir = enable_compilation_cache()
     print(f"# persistent compile cache: {cache_dir}", file=sys.stderr)
 
+    # Compile-only Pallas smoke: lower + compile the fused FFT-conv kernel for
+    # one representative shape so a Mosaic regression fails here in seconds
+    # instead of 19 minutes into the bucket warmup.
+    import jax
+
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+
+        from deepchopper_tpu.ops.pallas_fft import fft_causal_conv_pallas
+
+        t_smoke = time.monotonic()
+        jax.jit(fft_causal_conv_pallas).lower(
+            jax.ShapeDtypeStruct((8, 1024, 256), jnp.float32),
+            jax.ShapeDtypeStruct((1024, 256), jnp.float32),
+            jax.ShapeDtypeStruct((256,), jnp.float32),
+        ).compile()
+        print(f"# pallas smoke compiled in {time.monotonic() - t_smoke:.1f}s", file=sys.stderr)
+
     with tempfile.TemporaryDirectory() as tmp:
         fq = Path(tmp) / "bench.fq"
         synth_fastq(fq, n_reads)

@@ -84,6 +84,9 @@ class PredictEngine:
         self.return_labels = return_labels
         self.mesh = mesh
         self._compiled: dict[tuple[int, int], object] = {}
+        import threading
+
+        self._lock = threading.Lock()
         self.stats = PredictStats()
 
         module = bundle.module
@@ -171,9 +174,10 @@ class PredictEngine:
             quals = jnp.zeros(shape, jnp.uint8)
             fn(self._params, ids, quals)
             dt = time.monotonic() - t0
-            self.stats.compile_s += dt
+            with self._lock:
+                self.stats.compile_s += dt
+                self._compiled[shape] = fn
             log.info("compiled bucket %s in %.1fs", shape, dt)
-            self._compiled[shape] = fn
         return fn
 
     def _bucket_batch_size(self, width: int) -> int:
@@ -205,30 +209,47 @@ class PredictEngine:
             out.add(v)
         return sorted(out)
 
-    def warmup(self, buckets: list[int] | None = None, variants: bool = True) -> float:
+    def warmup(
+        self,
+        buckets: list[int] | None = None,
+        variants: bool = True,
+        max_workers: int | None = None,
+    ) -> float:
         """Precompile every bucket shape (and tail row variants); returns
-        total compile seconds.
+        total wall seconds.
 
+        Compiles run CONCURRENTLY across a thread pool — XLA compilation is
+        C++ and releases the GIL, so N distinct bucket shapes compile ~N-way
+        parallel instead of serially (cold-cache warmup was ~19 min serial).
         Partial batches pad up to the nearest compiled row variant, so after
         warmup the whole run executes with zero recompilation; the persistent
         compilation cache makes this once-per-machine. Also performs one
         device-to-host fetch to absorb the runtime's one-time transfer-path
         setup cost (large on tunneled chips).
         """
-        t0 = time.monotonic()
-        out = None
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        shapes: list[tuple[int, int]] = []
         for w in buckets or self.buckets:
             rows = self._row_variants(w) if variants else [self._bucket_batch_size(w)]
-            for r in rows:
-                shape = (r, w)
-                step = self._get_step(shape)
-                if out is None:
-                    out = step(
-                        self._params,
-                        jnp.zeros(shape, jnp.int8),
-                        jnp.zeros(shape, jnp.uint8),
-                    )
-        if out is not None:
+            shapes.extend((r, w) for r in rows)
+        shapes = [s for s in dict.fromkeys(shapes) if s not in self._compiled]
+        t0 = time.monotonic()
+        workers = max_workers or min(16, max(1, len(shapes)), os.cpu_count() or 8)
+        if workers > 1 and len(shapes) > 1:
+            with ThreadPoolExecutor(workers) as ex:
+                list(ex.map(self._get_step, shapes))
+        else:
+            for s in shapes:
+                self._get_step(s)
+        if shapes:
+            shape = shapes[0]
+            out = self._get_step(shape)(
+                self._params,
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.uint8),
+            )
             np.asarray(out)
         return time.monotonic() - t0
 

@@ -54,9 +54,13 @@ def parse_cigar_ops(cigar: str) -> list[tuple[int, str]]:
     for ch in cigar:
         if ch.isdigit():
             num = num * 10 + int(ch)
-        else:
+        elif ch in _CIGAR_OPS:
             ops.append((num, ch))
             num = 0
+        else:
+            # The reference's Cigar parser rejects unknown op codes
+            # (src/output/bam.rs test_cigar_soft_clip, "1D5M10S5A" errors).
+            raise ValueError(f"invalid CIGAR op {ch!r} in {cigar!r}")
     return ops
 
 

@@ -74,6 +74,10 @@ class HeadConfig:
     num_class: int = 2
     use_identity_layer_for_qual: bool = True
     use_qual: bool = True
+    # Matmul dtype. The head is ~24% of model FLOPs on the largest matmuls
+    # (256->1024->1024->2); bf16 runs them on the MXU at full rate with f32
+    # accumulation (params stay float32). Logits are returned float32.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

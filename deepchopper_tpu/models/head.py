@@ -25,19 +25,25 @@ class TokenClassificationHead(nn.Module):
         cfg = self.config
         if cfg.lin1_size != cfg.lin2_size:
             raise ValueError(f"lin1_size={cfg.lin1_size} and lin2_size={cfg.lin2_size} must be equal")
-        out = jax.nn.relu(nn.Dense(cfg.lin1_size, name="linear1", dtype=jnp.float32)(hidden))
+        # The head is ~24% of model FLOPs on 1024-wide matmuls; bf16 (default)
+        # keeps them on the MXU at full rate and halves the HBM traffic of the
+        # 1024-wide intermediates. Params stay float32; the MXU accumulates in
+        # float32 internally. Logits are always returned float32 so loss and
+        # argmax downstream are unchanged in dtype.
+        dtype = jnp.dtype(cfg.compute_dtype)
+        out = jax.nn.relu(nn.Dense(cfg.lin1_size, name="linear1", dtype=dtype)(hidden.astype(dtype)))
         if cfg.use_qual:
             if cfg.use_identity_layer_for_qual:
-                qual_term = input_quals[..., None]  # broadcast over hidden dim
+                qual_term = input_quals[..., None].astype(dtype)  # broadcast over hidden dim
             else:
-                qual_term = nn.Dense(cfg.lin1_size, name="qual_linear1", dtype=jnp.float32)(
-                    input_quals[..., None]
+                qual_term = nn.Dense(cfg.lin1_size, name="qual_linear1", dtype=dtype)(
+                    input_quals[..., None].astype(dtype)
                 )
             residual = out + qual_term
-            out = jax.nn.relu(nn.Dense(cfg.lin2_size, name="linear2", dtype=jnp.float32)(residual) + residual)
+            out = jax.nn.relu(nn.Dense(cfg.lin2_size, name="linear2", dtype=dtype)(residual) + residual)
         else:
-            out = jax.nn.relu(nn.Dense(cfg.lin2_size, name="linear2", dtype=jnp.float32)(out))
-        return nn.Dense(cfg.num_class, name="linear3", dtype=jnp.float32)(out)
+            out = jax.nn.relu(nn.Dense(cfg.lin2_size, name="linear2", dtype=dtype)(out))
+        return nn.Dense(cfg.num_class, name="linear3", dtype=dtype)(out).astype(jnp.float32)
 
 
 class TokenClassificationCnnHead(nn.Module):

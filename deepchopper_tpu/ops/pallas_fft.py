@@ -183,13 +183,17 @@ def _conv_kernel(
     b, h, n1 = xh.shape
     n2 = 2 * h
 
+    import os
+
+    prec = os.environ.get("DEEPCHOPPER_FFT_PRECISION", "float32")
+
     def rmm(a, m):
         # (B, n2, X) @ (X, Y) -> (B, n2, Y): right-mult, contracts the lane dim.
         # precision="float32": MXU bf16-pass default gives rel err ~5e-3 on the
         # assembled conv; 3-pass f32 costs ~5% and lands at ~2e-7.
         return jax.lax.dot_general(
             a, m, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision="float32",
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     def lmm(m, a):
@@ -198,7 +202,7 @@ def _conv_kernel(
         mb = jnp.broadcast_to(m, (b, *m.shape))
         return jax.lax.dot_general(
             mb, a, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision="float32",
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     # Forward stage 1: contract j2 over the non-padded half (left-mult).
@@ -267,9 +271,12 @@ def _fft_causal_conv_pallas_impl(
 
     # Tile the batch so each grid step's VMEM working set stays bounded:
     # the kernel holds ~6 (bt, n2, n1) f32 intermediates plus 3-pass matmul
-    # scratch, so cap bt*n at 64k elements (f32[512-row, n=512] batches blew
-    # the 16MB scoped-vmem limit once f32-precision dots landed).
-    bt = max(1, min(batch, 65536 // n))
+    # scratch, so cap bt*n elements (f32[512-row, n=512] batches blew the
+    # 16MB scoped-vmem limit once f32-precision dots landed).
+    import os
+
+    cap = int(os.environ.get("DEEPCHOPPER_FFT_BT_CAP", "65536"))
+    bt = max(1, min(batch, cap // n))
     padded_batch = ((batch + bt - 1) // bt) * bt
     if padded_batch != batch:
         v32 = jnp.pad(v32, ((0, padded_batch - batch), (0, 0), (0, 0)))

@@ -30,6 +30,20 @@ def _write_bam(path, names, flags=None, cigars=None):
             )
 
 
+def test_calc_softclips_reference_vectors():
+    """Verbatim ports of the reference softclip cases
+    (reference: src/output/bam.rs test_cigar_soft_clip)."""
+    import pytest
+
+    from deepchopper_tpu.io.bam import left_right_soft_clip
+
+    assert left_right_soft_clip("5S10M5S") == (5, 5)
+    assert left_right_soft_clip("5H10S5S") == (10, 5)  # hardclip skipped
+    assert left_right_soft_clip("10S5M1D") == (10, 0)
+    with pytest.raises(Exception):
+        left_right_soft_clip("1D5M10S5A")  # invalid op 'A'
+
+
 def test_bam_writer_reader_roundtrip(tmp_path):
     bam = tmp_path / "t.bam"
     _write_bam(

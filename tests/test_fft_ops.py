@@ -69,7 +69,7 @@ def test_backbone_argmax_invariant_to_conv_impl():
     from deepchopper_tpu.models import HeadConfig, HyenaConfig, HyenaTokenClassifier, init_params
 
     cfg = HyenaConfig(d_model=64, n_layer=2, d_inner=128, max_seq_len=1024, conv_impl="matmul_fft")
-    head = HeadConfig(input_size=64, lin1_size=96, lin2_size=96)
+    head = HeadConfig(input_size=64, lin1_size=96, lin2_size=96, compute_dtype="float32")
     m1 = HyenaTokenClassifier(backbone_config=cfg, head_config=head)
     params = init_params(m1, seq_len=128)
     m2 = HyenaTokenClassifier(

@@ -68,6 +68,51 @@ class TestFastqIO:
         assert len(F.read_fastq_records(out)) == 2 * n
 
 
+class TestWritefqReferenceVectors:
+    """Verbatim ports of the reference's writefq inline tests
+    (reference: src/output/writefq.rs:351-476)."""
+
+    def test_streaming_fastq_reader(self, tmp_path):
+        # reference: writefq.rs test_streaming_fastq_reader
+        recs = [
+            C.FastqRecord("read1", b"ATCGATCG", b"IIIIIIII"),
+            C.FastqRecord("read2", b"GCTAGCTA", b"HHHHHHHH"),
+            C.FastqRecord("read3", b"AAAATTTT", b"JJJJJJJJ"),
+        ]
+        path = tmp_path / "sr.fq.gz"
+        F.write_fq_parallel(recs, path, threads=2)
+        count = 0
+        for got in F.StreamingFastqReader(path):
+            assert count < len(recs)
+            assert got.id == recs[count].id
+            assert got.seq == recs[count].seq
+            assert got.qual == recs[count].qual
+            count += 1
+        assert count == len(recs)
+
+    def test_write_fq_with_file_path(self, tmp_path):
+        # reference: writefq.rs test_write_fq_with_file_path — exact bytes
+        recs = [
+            C.FastqRecord("1", b"ATCG", b"HHHH"),
+            C.FastqRecord("2", b"GCTA", b"MMMM"),
+        ]
+        path = tmp_path / "w.fq"
+        F.write_fq(recs, path)
+        assert path.read_text() == "@1\nATCG\n+\nHHHH\n@2\nGCTA\n+\nMMMM\n"
+
+    def test_write_fq_parallel(self, tmp_path):
+        # reference: writefq.rs test_write_fq_parallel
+        recs = [
+            C.FastqRecord("record1", b"ATCG", b"IIII"),
+            C.FastqRecord("record2", b"GCTA", b"EEEE"),
+        ]
+        path = tmp_path / "p.fq.gz"
+        F.write_fq_parallel(recs, path)
+        back = F.read_fastq_records(path)
+        for a, b in zip(back, recs):
+            assert a.id == b.id and a.seq == b.seq and a.qual == b.qual
+
+
 class TestPredictShards:
     def test_load_reference_pt(self, reference_data):
         # Oracle: reference test asserts 12 predicts in chunk0/0.pt

@@ -109,7 +109,7 @@ class TestHead:
         output — mirror of head.py:75-102 in the reference."""
         import torch
 
-        cfg = HeadConfig(input_size=8, lin1_size=16, lin2_size=16, num_class=2)
+        cfg = HeadConfig(input_size=8, lin1_size=16, lin2_size=16, num_class=2, compute_dtype="float32")
         head = TokenClassificationHead(cfg)
         rng = np.random.default_rng(0)
         hidden = rng.standard_normal((1, 10, 8)).astype(np.float32)
@@ -131,6 +131,37 @@ class TestHead:
         out = torch.relu(residual @ w2.T + b2 + residual)
         out = out @ w3.T + b3
         np.testing.assert_allclose(np.asarray(mine), out.numpy(), atol=1e-5)
+
+
+class TestHeadBf16:
+    def test_bf16_head_matches_f32_argmax(self):
+        """The default bf16 head must stay argmax-stable vs the f32 head.
+
+        bf16 matmuls accumulate in f32 on the MXU; the only deltas are input
+        rounding (~3 decimal digits), so per-base decisions agree except for
+        exact near-ties. We require logits close at bf16 tolerance, float32
+        output dtype, and >=99% argmax agreement on random (worst-case:
+        near-zero-logit) inputs — a trained model's confident logits agree
+        exactly."""
+        import dataclasses
+
+        cfg32 = HeadConfig(
+            input_size=64, lin1_size=128, lin2_size=128, num_class=2, compute_dtype="float32"
+        )
+        cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+        rng = np.random.default_rng(42)
+        hidden = rng.standard_normal((8, 256, 64)).astype(np.float32)
+        quals = rng.random((8, 256)).astype(np.float32)
+        h32 = TokenClassificationHead(cfg32)
+        params = h32.init(jax.random.PRNGKey(1), jnp.asarray(hidden), jnp.asarray(quals))["params"]
+        out32 = np.asarray(h32.apply({"params": params}, jnp.asarray(hidden), jnp.asarray(quals)))
+        h16 = TokenClassificationHead(cfg16)
+        out16 = np.asarray(h16.apply({"params": params}, jnp.asarray(hidden), jnp.asarray(quals)))
+        assert out16.dtype == np.float32
+        scale = max(1.0, float(np.abs(out32).max()))
+        np.testing.assert_allclose(out16, out32, atol=0.03 * scale)
+        agree = (out16.argmax(-1) == out32.argmax(-1)).mean()
+        assert agree >= 0.99, agree
 
 
 class TestRegistryAndCheckpoints:

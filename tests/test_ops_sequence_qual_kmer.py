@@ -85,3 +85,111 @@ class TestKmer:
         kreg = K.to_kmer_target_region((10, 20), 3, None)
         assert kreg == (10, 18)
         assert K.to_original_targtet_region(kreg, 3) == (10, 20)
+
+
+class TestKmerReferenceVectors:
+    """Verbatim ports of the reference's inline kmer tests
+    (reference: src/kmer.rs:230-454)."""
+
+    def test_seq_to_kmers_counts(self):
+        # reference: src/kmer.rs test_seq_to_kmers
+        assert len(K.seq_to_kmers("ATCGT", 2, overlap=True)) == 5 - 2 + 1
+        assert K.seq_to_kmers("AT", 3, overlap=True) == []
+
+    def test_generate_kmers_exact(self):
+        # reference: src/kmer.rs test_generate_kmers
+        assert K.generate_kmers("ACGT", 2) == [
+            "AA", "AC", "AG", "AT", "CA", "CC", "CG", "CT",
+            "GA", "GC", "GG", "GT", "TA", "TC", "TG", "TT",
+        ]
+        assert K.generate_kmers("AC", 3) == [
+            "AAA", "AAC", "ACA", "ACC", "CAA", "CAC", "CCA", "CCC",
+        ]
+
+    def test_generate_kmers_table_exact(self):
+        # reference: src/kmer.rs test_generate_kmers_table
+        table = K.generate_kmers_table("ACGT", 2)
+        expected = {
+            "AA": 0, "AC": 1, "AG": 2, "AT": 3, "CA": 4, "CC": 5, "CG": 6,
+            "CT": 7, "GA": 8, "GC": 9, "GG": 10, "GT": 11, "TA": 12,
+            "TC": 13, "TG": 14, "TT": 15,
+        }
+        assert dict(table) == expected
+
+    def test_generate_kmers_table_empty_base(self):
+        # reference: src/kmer.rs test_generate_kmers_table_empty_base
+        assert dict(K.generate_kmers_table("", 2)) == {}
+
+    def test_construct_seq_from_kmers(self):
+        # reference: src/kmer.rs test_construct_seq_from_kmers
+        seq = "AAACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+        assert K.kmers_to_seq(K.seq_to_kmers(seq, 3, overlap=True)) == seq
+
+    def test_update_target_region(self):
+        # reference: src/kmer.rs test_update_target_region{,_valid}
+        assert K.to_kmer_target_region((2, 6), 3, None) == (2, 4)
+        assert K.to_kmer_target_region((0, 10), 3, 20) == (0, 8)
+
+    def test_update_target_region_invalid(self):
+        # reference: src/kmer.rs test_update_target_region_invalid_*
+        import pytest
+
+        with pytest.raises(Exception):
+            K.to_kmer_target_region((10, 10), 3, 20)  # start == end
+        with pytest.raises(Exception):
+            K.to_kmer_target_region((0, 25), 3, 20)  # end > seq_len
+
+    def test_to_original_target_region(self):
+        # reference: src/kmer.rs test_to_original_target_region
+        assert K.to_kmer_target_region((2, 7), 3, None) == (2, 5)
+        assert K.to_original_targtet_region((2, 5), 3) == (2, 7)
+        assert K.to_original_targtet_region((5, 5), 3) == (5, 5)
+
+    def test_seq_to_kmers_and_offset_overlap(self):
+        # reference: src/kmer.rs test_seq_to_kmers_and_offset_overlap
+        out = K.seq_to_kmers_and_offset("ATCGATCGATCG", 4, overlap=True)
+        assert len(out) == 12 - 4 + 1
+        assert out[0] == ("ATCG", (0, 4))
+        assert out[1] == ("TCGA", (1, 5))
+        assert out[-1] == ("ATCG", (8, 12))
+
+    def test_seq_to_kmers_and_offset_non_overlap(self):
+        # reference: src/kmer.rs test_seq_to_kmers_and_offset_non_overlap
+        out = K.seq_to_kmers_and_offset("ATCGATCGATCG", 4, overlap=False)
+        assert len(out) == 12 // 4
+        assert out[0] == ("ATCG", (0, 4))
+        assert out[1] == ("ATCG", (4, 8))
+
+
+class TestVectorizeReferenceVectors:
+    """Verbatim ports of the reference's vectorize tests
+    (reference: src/kmer.rs:420-454)."""
+
+    def test_vectorize_target_valid(self):
+        from deepchopper_tpu.ops import labels as L
+
+        assert L.vectorize_target(3, 5, 6).tolist() == [0, 0, 0, 1, 1, 0]
+        assert L.vectorize_target(0, 0, 6).tolist() == [0, 0, 0, 0, 0, 0]
+
+    def test_vectorize_target_invalid(self):
+        import pytest
+
+        from deepchopper_tpu.ops import labels as L
+
+        with pytest.raises(Exception):
+            L.vectorize_target(5, 0, 2)
+
+    def test_vectorize_targets_valid(self):
+        from deepchopper_tpu.ops import labels as L
+
+        assert L.vectorize_targets([0, 5, 7, 10], 15).tolist() == [
+            1, 1, 1, 1, 1, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0,
+        ]
+
+    def test_vectorize_targets_invalid(self):
+        import pytest
+
+        from deepchopper_tpu.ops import labels as L
+
+        with pytest.raises(Exception):
+            L.vectorize_targets([0, 5, 7, 20], 15)

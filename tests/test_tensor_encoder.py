@@ -109,6 +109,30 @@ def test_reference_fixture_shape(reference_data):
     assert int(inputs[:, 0].max()) < len(dc.generate_kmers(dc.default.BASES, 3))
 
 
+def test_reference_one_record_max_width_cases(reference_data):
+    """Verbatim ports of the reference max-width shape cases
+    (reference: src/fq_encode/tensor_encoder.rs:447-510): a too-small
+    tensor_max_width auto-grows to the record's true width (1347 kmers,
+    1349 bases), a larger one pads out to the requested 2000."""
+    fq = reference_data / "one_record.fq"
+    if not fq.exists():
+        pytest.skip("fixture missing")
+
+    enc = TensorEncoder(option=FqEncoderOption(kmer_size=3), tensor_max_width=100)
+    (inputs, targets), quals = enc.encode(fq)
+    assert inputs.shape == (1, 2, 1347)
+    assert targets.shape == (1, 1, 1347)
+    assert quals.shape == (1, 1349)
+
+    enc = TensorEncoder(
+        option=FqEncoderOption(kmer_size=3), tensor_max_width=2000, tensor_max_seq_len=2000
+    )
+    (inputs, targets), quals = enc.encode(fq)
+    assert inputs.shape == (1, 2, 2000)
+    assert targets.shape == (1, 1, 2000)
+    assert quals.shape == (1, 2000)
+
+
 def test_encoder_classes_roundtrip(tmp_path):
     fq = tmp_path / "t.fq"
     _write_fq(fq, [("r|1:5", "ACGTACGT", "IIIIIIII")])

@@ -255,6 +255,7 @@ def _configs(identity_qual: bool = True):
         lin1_size=96,
         lin2_size=96,
         use_identity_layer_for_qual=identity_qual,
+        compute_dtype="float32",  # oracle comparison at f32 tolerance
     )
     return cfg, head
 
@@ -452,7 +453,7 @@ def test_caduceus_full_classifier_parity(tmp_path):
     from deepchopper_tpu.models.config import CADUCEUS_TINY
 
     cfg = dataclasses.replace(CADUCEUS_TINY, compute_dtype="float32")
-    head = HeadConfig(input_size=cfg.d_model, lin1_size=96, lin2_size=96)
+    head = HeadConfig(input_size=cfg.d_model, lin1_size=96, lin2_size=96, compute_dtype="float32")
     torch.manual_seed(2)
 
     class TorchCadClassifier(tnn.Module):
