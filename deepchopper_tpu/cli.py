@@ -145,6 +145,12 @@ def _add_misc(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("train", help="Train a model (hydra-style config + overrides)")
     p.add_argument("--config", "-c", type=Path, default=None, help="YAML config file")
     p.add_argument("overrides", nargs="*", help="key.subkey=value overrides")
+    p.add_argument(
+        "--sweep",
+        type=Path,
+        default=None,
+        help="hparams-search YAML (TPE + pruning; see configs/hparams_search/)",
+    )
     p.add_argument("--verbose", "-v", action="store_true")
 
     p = sub.add_parser("eval", help="Evaluate a checkpoint (test or predict)")
@@ -393,6 +399,26 @@ def cmd_train(args: argparse.Namespace) -> int:
     from .train.loop import train
 
     cfg = load_config(args.config, args.overrides)
+    if getattr(args, "sweep", None):
+        import yaml
+
+        from .train.sweep import run_sweep
+
+        spec = yaml.safe_load(Path(args.sweep).read_text()) or {}
+        trials = run_sweep(
+            cfg,
+            {k: str(v) for k, v in (spec.get("params") or {}).items()},
+            n_trials=int(spec.get("n_trials", 10)),
+            optimized_metric=spec.get("optimized_metric", "best_val_f1"),
+            direction=spec.get("direction", "maximize"),
+            sampler=spec.get("sampler", "tpe"),
+            n_startup_trials=int(spec.get("n_startup_trials", 5)),
+            pruning=bool(spec.get("pruning", True)),
+            output_dir=Path(cfg.output_dir) / "sweep",
+        )
+        best = trials[0] if trials else None
+        print(f"sweep done: best={best.metric if best else None} {best.overrides if best else {}}")
+        return 0
     metrics = train(cfg)
     print(f"train done: {metrics}")
     return 0

@@ -100,9 +100,14 @@ class MambaMixer(nn.Module):
 
 
 class BiMambaMixer(nn.Module):
-    """Bidirectional Mamba ("ph"): the SAME mixer weights applied forward and
-    to the flipped sequence, outputs summed — the parameter-homologous tying
-    Caduceus-ph uses."""
+    """Bidirectional Mamba: a mixer applied forward and to the flipped
+    sequence, outputs summed.
+
+    With `config.bidirectional_weight_tie` (the "ph", parameter-homologous
+    variant) the SAME mixer weights run both directions; without it (the
+    "ps" variant, reference family kuleshov-group/caduceus-ps_*,
+    deepchopper/models/llm/caduceus.py:5-55) a SEPARATE `mixer_rev`
+    parameterizes the reverse pass."""
 
     config: CaduceusConfig
 
@@ -110,7 +115,12 @@ class BiMambaMixer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         mixer = MambaMixer(self.config, name="mixer")
         fwd = mixer(x)
-        bwd = jnp.flip(mixer(jnp.flip(x, axis=1)), axis=1)
+        rev = (
+            mixer
+            if self.config.bidirectional_weight_tie
+            else MambaMixer(self.config, name="mixer_rev")
+        )
+        bwd = jnp.flip(rev(jnp.flip(x, axis=1)), axis=1)
         return fwd + bwd
 
 

@@ -97,6 +97,10 @@ class CaduceusConfig:
     max_seq_len: int = 131072
     layer_norm_epsilon: float = 1e-5
     compute_dtype: str = "bfloat16"
+    # True = "ph" (parameter-homologous: forward/reverse mixers share
+    # weights); False = "ps" (separate reverse-mixer parameters) — both
+    # reference variants (deepchopper/models/llm/caduceus.py:5-55).
+    bidirectional_weight_tie: bool = True
 
     @property
     def padded_vocab_size(self) -> int:
@@ -105,11 +109,15 @@ class CaduceusConfig:
 
 
 CADUCEUS_PH_131K = CaduceusConfig()
+CADUCEUS_PS_131K = CaduceusConfig(bidirectional_weight_tie=False)
 CADUCEUS_TINY = CaduceusConfig(d_model=64, n_layer=2, d_state=8, dt_rank=4, max_seq_len=1024)
+CADUCEUS_TINY_PS = CaduceusConfig(
+    d_model=64, n_layer=2, d_state=8, dt_rank=4, max_seq_len=1024, bidirectional_weight_tie=False
+)
 
 CADUCEUS_CONFIGS: dict[str, CaduceusConfig] = {
     "caduceus-ph_seqlen-131k_d_model-256_n_layer-16": CADUCEUS_PH_131K,
-    "caduceus-ps_seqlen-131k_d_model-256_n_layer-16": CADUCEUS_PH_131K,
+    "caduceus-ps_seqlen-131k_d_model-256_n_layer-16": CADUCEUS_PS_131K,
 }
 
 

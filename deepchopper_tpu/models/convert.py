@@ -186,21 +186,35 @@ def _convert_caduceus(sd: dict[str, np.ndarray], p: dict, n_layer: int) -> Any:
             if any(k.startswith(pt + ".") for k in sd):
                 break
         blk["norm"]["scale"] = _find(sd, f"{pt}.norm.weight")
-        mixer = blk["bimamba"]["mixer"]
+        def load_mixer(mixer: dict, mx: str) -> None:
+            mixer["in_proj"]["kernel"] = _find(sd, f"{mx}.in_proj.weight").T
+            # torch depthwise Conv1d weight (channels, 1, k) -> ours (k, 1, channels)
+            mixer["conv1d_kernel"] = np.transpose(_find(sd, f"{mx}.conv1d.weight"), (2, 1, 0))
+            mixer["conv1d_bias"] = _find(sd, f"{mx}.conv1d.bias")
+            mixer["x_proj"]["kernel"] = _find(sd, f"{mx}.x_proj.weight").T
+            mixer["dt_proj"]["kernel"] = _find(sd, f"{mx}.dt_proj.weight").T
+            mixer["dt_proj"]["bias"] = _find(sd, f"{mx}.dt_proj.bias")
+            mixer["A_log"] = _find(sd, f"{mx}.A_log")
+            mixer["D"] = _find(sd, f"{mx}.D")
+            mixer["out_proj"]["kernel"] = _find(sd, f"{mx}.out_proj.weight").T
+
         # "ph" ties forward/reverse weights; mamba_fwd carries the params.
         for mx in (f"{pt}.mixer.mamba_fwd", f"{pt}.mixer.submodule.mamba_fwd", f"{pt}.mixer"):
             if any(k.startswith(mx + ".") for k in sd):
                 break
-        mixer["in_proj"]["kernel"] = _find(sd, f"{mx}.in_proj.weight").T
-        # torch depthwise Conv1d weight (channels, 1, k) -> ours (k, 1, channels)
-        mixer["conv1d_kernel"] = np.transpose(_find(sd, f"{mx}.conv1d.weight"), (2, 1, 0))
-        mixer["conv1d_bias"] = _find(sd, f"{mx}.conv1d.bias")
-        mixer["x_proj"]["kernel"] = _find(sd, f"{mx}.x_proj.weight").T
-        mixer["dt_proj"]["kernel"] = _find(sd, f"{mx}.dt_proj.weight").T
-        mixer["dt_proj"]["bias"] = _find(sd, f"{mx}.dt_proj.bias")
-        mixer["A_log"] = _find(sd, f"{mx}.A_log")
-        mixer["D"] = _find(sd, f"{mx}.D")
-        mixer["out_proj"]["kernel"] = _find(sd, f"{mx}.out_proj.weight").T
+        load_mixer(blk["bimamba"]["mixer"], mx)
+        if "mixer_rev" in blk["bimamba"]:
+            # "ps" (untied): separate reverse-mixer params under mamba_rev
+            # (reference family: caduceus-ps_*, deepchopper/models/llm/
+            # caduceus.py:5-55).
+            for mr in (f"{pt}.mixer.mamba_rev", f"{pt}.mixer.submodule.mamba_rev"):
+                if any(k.startswith(mr + ".") for k in sd):
+                    break
+            else:
+                raise KeyError(
+                    f"untied (ps) model expects {pt}.mixer.mamba_rev.* keys in the checkpoint"
+                )
+            load_mixer(blk["bimamba"]["mixer_rev"], mr)
 
     bb["norm_f"]["scale"] = _find(
         sd, "backbone.backbone.norm_f.weight", "backbone.norm_f.weight", "norm_f.weight"

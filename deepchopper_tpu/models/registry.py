@@ -97,10 +97,19 @@ def _cnn() -> Any:
 
 
 @register("caduceus-ph_seqlen-131k_d_model-256_n_layer-16")
-@register("caduceus-ps_seqlen-131k_d_model-256_n_layer-16")
 def _caduceus_131k() -> Any:
     return CaduceusTokenClassifier(
         backbone_config=CADUCEUS_CONFIGS["caduceus-ph_seqlen-131k_d_model-256_n_layer-16"],
+        head_config=_default_head(),
+    )
+
+
+@register("caduceus-ps_seqlen-131k_d_model-256_n_layer-16")
+def _caduceus_131k_ps() -> Any:
+    """Untied (separate reverse-mixer) variant
+    (reference: deepchopper/models/llm/caduceus.py:5-55, caduceus-ps_*)."""
+    return CaduceusTokenClassifier(
+        backbone_config=CADUCEUS_CONFIGS["caduceus-ps_seqlen-131k_d_model-256_n_layer-16"],
         head_config=_default_head(),
     )
 
@@ -115,10 +124,34 @@ def _caduceus_tiny() -> Any:
     )
 
 
-def build_model(name: str) -> Any:
+@register("caduceus-tiny-ps")
+def _caduceus_tiny_ps() -> Any:
+    from .config import CADUCEUS_TINY_PS
+
+    return CaduceusTokenClassifier(
+        backbone_config=CADUCEUS_TINY_PS,
+        head_config=dataclasses.replace(_default_head(), input_size=64, lin1_size=128, lin2_size=128),
+    )
+
+
+def build_model(name: str, head_overrides: dict | None = None) -> Any:
+    """Build a registered model, optionally overriding head hyperparameters
+    (the reference's sweeper tunes model.net.head.lin1_size /
+    use_identity_layer_for_qual, configs/hparams_search/hyena_optuna.yaml:50-52).
+    `lin1_size` implies `lin2_size` (the head requires them equal)."""
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model {name!r}; available: {sorted(MODEL_REGISTRY)}")
-    return MODEL_REGISTRY[name]()
+    module = MODEL_REGISTRY[name]()
+    if head_overrides:
+        over = dict(head_overrides)
+        if "lin1_size" in over and "lin2_size" not in over:
+            over["lin2_size"] = over["lin1_size"]
+        if not hasattr(module, "head_config"):
+            raise ValueError(f"model {name!r} has no tunable head")
+        module = dataclasses.replace(
+            module, head_config=dataclasses.replace(module.head_config, **over)
+        )
+    return module
 
 
 def init_params(module: Any, seed: int = 0, seq_len: int = 1024, batch: int = 1) -> Any:
@@ -173,8 +206,12 @@ class DeepChopper:
     }
 
     @staticmethod
-    def new(name: str = "hyenadna-small-32k-seqlen", seed: int = 0) -> ModelBundle:
-        module = build_model(name)
+    def new(
+        name: str = "hyenadna-small-32k-seqlen",
+        seed: int = 0,
+        head_overrides: dict | None = None,
+    ) -> ModelBundle:
+        module = build_model(name, head_overrides)
         params = init_params(module, seed=seed)
         return ModelBundle(module=module, params=params, name=name, config=getattr(module, "backbone_config", None))
 

@@ -52,6 +52,10 @@ class ModelConfig:
     lambda_penalty: float = 0.0
     checkpoint: str | None = None  # native checkpoint to initialize from
     torch_checkpoint: str | None = None  # reference torch ckpt to convert
+    # Head hyperparameters the reference's sweeper tunes
+    # (configs/hparams_search/hyena_optuna.yaml:50-52); None = registry default.
+    lin1_size: int | None = None
+    use_identity_layer_for_qual: bool | None = None
 
 
 @dataclasses.dataclass

@@ -170,10 +170,18 @@ def param_count(params: Any) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
 
+class TrialPruned(Exception):
+    """Raised by an epoch callback to stop an unpromising sweep trial early
+    (capability of the reference's Optuna pruning hooks,
+    configs/hparams_search/hyena_optuna.yaml)."""
+
+
 class Trainer:
     """Epoch loop + callbacks over the jitted data-parallel step."""
 
-    def __init__(self, cfg: TrainConfig):
+    def __init__(self, cfg: TrainConfig, epoch_callback=None):
+        """`epoch_callback(row)` is invoked after every epoch with the metrics
+        row; raising `TrialPruned` from it ends fit() early (sweep pruning)."""
         self.cfg = cfg
         self.out_dir = Path(cfg.output_dir) / cfg.task_name
         self.ckpt_dir = self.out_dir / "checkpoints"
@@ -181,11 +189,21 @@ class Trainer:
         self.mesh = make_mesh(cfg.trainer.n_devices)
         self.history: list[dict[str, float]] = []
         self.best_ckpt_path: Path | None = None
+        self.epoch_callback = epoch_callback
+        self.pruned = False
 
     # -- setup -------------------------------------------------------------
 
     def _build(self) -> tuple[ModelBundle, TrainState, Any, Any]:
         cfg = self.cfg
+        head_overrides = {
+            k: v
+            for k, v in (
+                ("lin1_size", cfg.model.lin1_size),
+                ("use_identity_layer_for_qual", cfg.model.use_identity_layer_for_qual),
+            )
+            if v is not None
+        }
         if cfg.model.checkpoint:
             bundle = DeepChopper.from_checkpoint(cfg.model.checkpoint, cfg.model.name)
         elif cfg.model.torch_checkpoint:
@@ -193,7 +211,9 @@ class Trainer:
                 cfg.model.name, torch_checkpoint=cfg.model.torch_checkpoint
             )
         else:
-            bundle = DeepChopper.new(cfg.model.name, seed=cfg.seed or 0)
+            bundle = DeepChopper.new(
+                cfg.model.name, seed=cfg.seed or 0, head_overrides=head_overrides or None
+            )
 
         tx = make_plateau_optimizer(cfg.optimizer.lr, cfg.optimizer.weight_decay)
         if cfg.trainer.gradient_clip:
@@ -378,6 +398,14 @@ class Trainer:
             if cfg.callbacks.save_last and save_ckpts:
                 self._save(self.ckpt_dir / "last.ckpt", state, epoch, best_metric)
 
+            if self.epoch_callback is not None:
+                try:
+                    self.epoch_callback(row)
+                except TrialPruned:
+                    self.pruned = True
+                    log.info("trial pruned at epoch %d", epoch)
+                    break
+
             if stopper.step(monitored):
                 log.info("early stopping at epoch %d (patience %d)", epoch, stopper.patience)
                 break
@@ -447,15 +475,17 @@ class Trainer:
 # ---------------------------------------------------------------------------
 
 
-def train(cfg: TrainConfig) -> dict[str, float]:
+def train(cfg: TrainConfig, epoch_callback=None) -> dict[str, float]:
     """Train, then test on the best checkpoint when cfg.test is set."""
     if cfg.seed is not None:
         np.random.seed(cfg.seed)
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, epoch_callback=epoch_callback)
     metrics: dict[str, float] = {}
     if cfg.train:
         metrics.update(trainer.fit())
-    if cfg.test:
+        if trainer.pruned:
+            metrics["pruned"] = 1.0
+    if cfg.test and not trainer.pruned:
         metrics.update({f"test/{k}": v for k, v in trainer.test().items()})
     return metrics
 

@@ -152,8 +152,13 @@ def test_head_math_matches_torch_reference(converted):
     out = relu(residual @ w2.T + b2 + residual)
     expected = out @ w3.T + b3
 
+    import dataclasses
+
     from deepchopper_tpu.models.head import TokenClassificationHead
 
-    module = TokenClassificationHead(bundle.module.head_config)
+    # Pin f32 for the exactness check (prod default is bf16 matmuls; argmax
+    # stability under bf16 is covered by test_torch_parity.py).
+    cfg32 = dataclasses.replace(bundle.module.head_config, compute_dtype="float32")
+    module = TokenClassificationHead(cfg32)
     got = np.asarray(module.apply({"params": head_p}, jnp.asarray(x), jnp.asarray(quals)))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-3)

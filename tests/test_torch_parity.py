@@ -446,6 +446,111 @@ def test_caduceus_backbone_parity(tmp_path):
     np.testing.assert_allclose(j_hidden, t_hidden, atol=3e-4 * scale)
 
 
+class TorchBiMambaUntied(tnn.Module):
+    """'ps' variant: SEPARATE mamba_fwd / mamba_rev parameters
+    (reference family: kuleshov-group/caduceus-ps_*,
+    deepchopper/models/llm/caduceus.py:5-55)."""
+
+    def __init__(self, *args):
+        super().__init__()
+        self.mamba_fwd = TorchMamba(*args)
+        self.mamba_rev = TorchMamba(*args)
+
+    def forward(self, x):
+        fwd = self.mamba_fwd(x)
+        bwd = self.mamba_rev(torch.flip(x, dims=(1,))).flip(dims=(1,))
+        return fwd + bwd
+
+
+def test_caduceus_ps_untied_backbone_parity(tmp_path):
+    """The ps (untied) backbone converts a mamba_fwd+mamba_rev torch state
+    dict and matches it numerically; untied params must actually differ in
+    effect (flip-symmetry broken)."""
+    import dataclasses
+
+    from deepchopper_tpu.models.caduceus import CaduceusBackbone
+    from deepchopper_tpu.models.config import CADUCEUS_TINY_PS
+
+    cfg = dataclasses.replace(CADUCEUS_TINY_PS, compute_dtype="float32")
+    torch.manual_seed(3)
+    tmodel = tnn.Module()
+    tmodel.backbone = TorchCaduceusBackbone.__new__(TorchCaduceusBackbone)
+    tnn.Module.__init__(tmodel.backbone)
+    tmodel.backbone.embeddings = tnn.Module()
+    tmodel.backbone.embeddings.word_embeddings = tnn.Embedding(cfg.padded_vocab_size, cfg.d_model)
+    tmodel.backbone.layers = tnn.ModuleList()
+    for _ in range(cfg.n_layer):
+        block = tnn.Module()
+        block.norm = TorchRMSNorm(cfg.d_model, cfg.layer_norm_epsilon)
+        block.mixer = TorchBiMambaUntied(
+            cfg.d_model, cfg.d_state, cfg.d_conv, cfg.expand, cfg.dt_rank
+        )
+        tmodel.backbone.layers.append(block)
+    tmodel.backbone.norm_f = TorchRMSNorm(cfg.d_model, cfg.layer_norm_epsilon)
+    tmodel = tmodel.eval()
+
+    ckpt = tmp_path / "cad_ps.pt"
+    torch.save({f"net.backbone.{k}": v for k, v in tmodel.backbone.state_dict().items()}, ckpt)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, cfg.vocab_size, (2, 96))
+    with torch.no_grad():
+        t_hidden = tmodel.backbone(torch.tensor(ids)).numpy()
+
+    import jax
+
+    module = CaduceusBackbone(cfg)
+    template = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32), jnp.int32))["params"]
+    # the untied module must own separate reverse-mixer params
+    assert "mixer_rev" in template["block_0"]["bimamba"]
+
+    from deepchopper_tpu.models.convert import (
+        _convert_caduceus,
+        _load_torch_state_dict,
+        _strip_prefixes,
+    )
+
+    sd = _strip_prefixes(_load_torch_state_dict(ckpt))
+    p = {"backbone": jax.tree_util.tree_map(np.asarray, template)}
+    converted = _convert_caduceus(sd, p, cfg.n_layer)
+    j_hidden = np.asarray(
+        module.apply({"params": converted["backbone"]}, jnp.asarray(ids, jnp.int32))
+    )
+    scale = max(1.0, float(np.abs(t_hidden).max()))
+    np.testing.assert_allclose(j_hidden, t_hidden, atol=3e-4 * scale)
+
+
+def test_caduceus_ps_converter_requires_rev_keys(tmp_path):
+    """Feeding a ph (tied) checkpoint into the ps (untied) model is a hard
+    error, not a silent half-initialized model."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from deepchopper_tpu.models.caduceus import CaduceusBackbone
+    from deepchopper_tpu.models.config import CADUCEUS_TINY_PS
+
+    cfg = dataclasses.replace(CADUCEUS_TINY_PS, compute_dtype="float32")
+    torch.manual_seed(5)
+    tb = TorchCaduceusBackbone(dataclasses.replace(cfg, bidirectional_weight_tie=True))
+    ckpt = tmp_path / "cad_ph_only.pt"
+    torch.save({f"net.backbone.{k}": v for k, v in tb.state_dict().items()}, ckpt)
+
+    module = CaduceusBackbone(cfg)
+    template = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32), jnp.int32))["params"]
+    from deepchopper_tpu.models.convert import (
+        _convert_caduceus,
+        _load_torch_state_dict,
+        _strip_prefixes,
+    )
+
+    sd = _strip_prefixes(_load_torch_state_dict(ckpt))
+    p = {"backbone": jax.tree_util.tree_map(np.asarray, template)}
+    with pytest.raises(KeyError):
+        _convert_caduceus(sd, p, cfg.n_layer)
+
+
 def test_caduceus_full_classifier_parity(tmp_path):
     import dataclasses
 
