@@ -189,6 +189,128 @@ def predict_cli(
     return run_chop(list(predicts), fq, opts)
 
 
+def _part_paths(out_dir: Path, rank: int) -> tuple[Path, Path]:
+    return (
+        out_dir / f".dc_chop_part_{rank}.fq.gz",
+        out_dir / f".dc_chop_part_{rank}.json",
+    )
+
+
+def multihost_stream_chop(
+    all_predicts: dict[str, Predict],
+    fq_path: str | Path,
+    opts: ChopOptions | None = None,
+    rank: int = 0,
+    nprocs: int = 1,
+    barrier=None,
+) -> ChopStats | None:
+    """Shard-parallel multi-host chop: every rank chops the reads IT predicted.
+
+    TPU-native improvement over the reference's DDP contract (each rank writes
+    prediction shards, then rank 0 re-reads the whole FASTQ and chops
+    everything, deepchopper/models/callbacks.py:25 + docs/tutorials): the
+    expensive work — smoothing, splitting, BGZF deflate — runs on every host
+    concurrently. Each rank streams the FASTQ but `process_chunk` drops reads
+    without a prediction, so a read owned by another rank's interleaved slice
+    costs only the parse. Rank r writes a raw BGZF part stream (no EOF block)
+    plus a counts sidecar; after `barrier()`, rank 0 concatenates the parts in
+    rank order, appends the single EOF marker, and atomically renames to the
+    reference's output contract name. BGZF blocks are standalone gzip members,
+    so the concatenation is a byte-valid bgzip file.
+
+    Returns the merged ChopStats on rank 0, None on other ranks.
+    """
+    import json as _json
+
+    opts = opts or ChopOptions()
+    fq_path = Path(fq_path)
+    start = time.monotonic()
+
+    if opts.output_prefix is not None:
+        out_dir = Path(opts.output_prefix).parent or Path(".")
+    else:
+        out_dir = fq_path.parent
+    out_dir.mkdir(parents=True, exist_ok=True)
+    part_path, sidecar = _part_paths(out_dir, rank)
+
+    fq_count = 0
+    output_count = 0
+    try:
+        with open_bgzf_writer(part_path, threads=opts.threads, write_eof=False) as writer:
+            for chunk in iter_fastq_chunks(fq_path, opts.chunk_size):
+                fq_count += len(chunk)
+                results = process_chunk(chunk, all_predicts, opts)
+                for rec in results:
+                    writer.write(rec.to_bytes())
+                output_count += len(results)
+        sidecar.write_text(
+            _json.dumps(
+                {
+                    "fq_count": fq_count,
+                    "output_count": output_count,
+                    "predicts_loaded": len(all_predicts),
+                }
+            )
+        )
+    except BaseException:
+        part_path.unlink(missing_ok=True)
+        sidecar.unlink(missing_ok=True)
+        raise
+
+    if barrier is not None:
+        barrier("deepchopper_chop_parts_done")
+    if rank != 0:
+        return None
+
+    stats = ChopStats(total_fq_count=fq_count)
+    for r in range(nprocs):
+        _, sc = _part_paths(out_dir, r)
+        if not sc.exists():
+            raise FileNotFoundError(f"missing chop part sidecar for rank {r}: {sc}")
+        counts = _json.loads(sc.read_text())
+        stats.total_output_count += counts["output_count"]
+        stats.predicts_loaded += counts["predicts_loaded"]
+
+    from ..io.bgzf import BGZF_EOF
+
+    temp_output = out_dir / f".deepchopper_temp_{os.getpid()}.fq.gz"
+    try:
+        with open(temp_output, "wb") as out:
+            for r in range(nprocs):
+                pp, _ = _part_paths(out_dir, r)
+                with open(pp, "rb") as fh:
+                    while True:
+                        buf = fh.read(4 << 20)
+                        if not buf:
+                            break
+                        out.write(buf)
+            out.write(BGZF_EOF)
+        if opts.output_prefix is not None:
+            output_file = (
+                f"{opts.output_prefix}.{stats.predicts_loaded}pd."
+                f"{stats.total_output_count}record.chop.fq.gz"
+            )
+        else:
+            output_file = (
+                f"{fq_path.stem}.{stats.predicts_loaded}pd."
+                f"{stats.total_output_count}record.chop.fq.gz"
+            )
+        os.replace(temp_output, output_file)
+        stats.output_file = output_file
+    except BaseException:
+        temp_output.unlink(missing_ok=True)
+        raise
+    finally:
+        for r in range(nprocs):
+            pp, sc = _part_paths(out_dir, r)
+            pp.unlink(missing_ok=True)
+            sc.unlink(missing_ok=True)
+
+    stats.elapsed_s = time.monotonic() - start
+    stats.peak_rss_bytes = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    return stats
+
+
 def stream_chop_with_predicts(
     all_predicts: dict[str, Predict],
     fq_path: str | Path,

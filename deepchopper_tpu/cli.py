@@ -173,7 +173,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_predict(args: argparse.Namespace) -> int:
-    from .chop import ChopOptions, run_chop
+    from .chop import ChopOptions
     from .infer import PredictEngine
     from .models.registry import DeepChopper
     from .parallel.mesh import initialize_distributed
@@ -214,16 +214,30 @@ def cmd_predict(args: argparse.Namespace) -> int:
         from .infer.fused import fused_predict_chop
 
         if jax.process_count() > 1:
-            # Multi-host: each host predicts its input shard (the labels-path
-            # shards are valid chop inputs); after a global barrier, host 0
-            # merges every rank's shards at the chop stage (the reference's
-            # DDP predict->chop contract).
-            engine.predict_file(args.data_path, args.output, max_samples=args.max_sample)
+            # Multi-host: each host predicts its interleaved input shard, then
+            # chops the reads IT predicted into a per-rank BGZF part stream;
+            # rank 0 concatenates parts + EOF (shard-parallel — the smoothing,
+            # splitting, and deflate all run on every host concurrently,
+            # unlike the reference's rank-0-rechops-everything contract,
+            # deepchopper/models/callbacks.py:25).
             from jax.experimental import multihost_utils
 
+            from .chop.pipeline import multihost_stream_chop
+            from .io.predicts import load_predicts_from_batch_pts
+
+            rank, nprocs = jax.process_index(), jax.process_count()
+            engine.predict_file(args.data_path, args.output, max_samples=args.max_sample)
             multihost_utils.sync_global_devices("deepchopper_predict_done")
-            if jax.process_index() == 0:
-                stats = run_chop([Path(args.output) / "0"], args.fq or args.data_path, ChopOptions())
+            own = load_predicts_from_batch_pts(Path(args.output) / "0", pattern=f"{rank}_*")
+            stats = multihost_stream_chop(
+                own,
+                args.fq or args.data_path,
+                ChopOptions(),
+                rank=rank,
+                nprocs=nprocs,
+                barrier=multihost_utils.sync_global_devices,
+            )
+            if stats is not None:
                 print(
                     f"chopped {stats.total_fq_count} reads -> "
                     f"{stats.total_output_count} records -> {stats.output_file}"

@@ -51,10 +51,15 @@ class BgzfWriter(io.RawIOBase):
     deterministic regardless of thread count.
     """
 
-    def __init__(self, sink: BinaryIO, threads: int = 4, level: int = 6):
+    def __init__(self, sink: BinaryIO, threads: int = 4, level: int = 6, write_eof: bool = True):
+        """`write_eof=False` emits a raw block stream without the 28-byte EOF
+        marker — shard-parallel writers concatenate such part streams and
+        append a single EOF at the end (BGZF blocks are standalone gzip
+        members, so concatenation is valid)."""
         super().__init__()
         self._sink = sink
         self._level = level
+        self._write_eof = write_eof
         self._threads = max(1, threads)
         self._buf = bytearray()
         from .. import native
@@ -115,7 +120,8 @@ class BgzfWriter(io.RawIOBase):
             return
         try:
             self.flush()
-            self._sink.write(BGZF_EOF)
+            if self._write_eof:
+                self._sink.write(BGZF_EOF)
             self._sink.flush()
             if self._pool is not None:
                 self._pool.shutdown(wait=True)
@@ -124,9 +130,11 @@ class BgzfWriter(io.RawIOBase):
             super().close()
 
 
-def open_bgzf_writer(path, threads: int = 4, level: int = 6) -> io.BufferedWriter:
+def open_bgzf_writer(
+    path, threads: int = 4, level: int = 6, write_eof: bool = True
+) -> io.BufferedWriter:
     """Open a buffered BGZF writer at `path`."""
-    raw = BgzfWriter(open(path, "wb"), threads=threads, level=level)
+    raw = BgzfWriter(open(path, "wb"), threads=threads, level=level, write_eof=write_eof)
     return io.BufferedWriter(raw, buffer_size=MAX_BLOCK_SIZE)
 
 

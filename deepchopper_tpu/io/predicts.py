@@ -150,10 +150,13 @@ def load_predicts_from_batch_pts(
     path: str | Path,
     ignore_label: int = default.IGNORE_LABEL,
     max_predicts: int | None = None,
+    pattern: str = "*",
 ) -> dict[str, Predict]:
     """Walk a directory and load every `.pt`/`.npz` shard found
     (reference: src/smooth/predict.rs:212-261). Failed shards are skipped with
-    a warning, matching the reference's filter_map behavior.
+    a warning, matching the reference's filter_map behavior. `pattern`
+    restricts the walk (e.g. `"3_*"` loads only rank 3's shards — the
+    shard-parallel multi-host chop path).
     """
     import logging
 
@@ -161,7 +164,7 @@ def load_predicts_from_batch_pts(
     if path.is_file():
         files = [path]
     else:
-        files = sorted(p for p in path.rglob("*") if p.suffix in (".pt", ".npz"))
+        files = sorted(p for p in path.rglob(pattern) if p.suffix in (".pt", ".npz"))
     if max_predicts is not None and len(files) > max_predicts:
         files = files[:max_predicts]
     out: dict[str, Predict] = {}

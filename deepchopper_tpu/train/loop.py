@@ -146,10 +146,73 @@ class CsvLogger:
             w.writerow(row)
 
 
-class MultiLogger:
-    """Fan a metrics row out to several backends (csv, tensorboard)."""
+class JsonlLogger:
+    """Per-epoch metrics as JSON lines — the machine-readable run log
+    (reference capability: the experiment-tracker backends of
+    configs/logger/*.yaml, reduced to their offline/file mode)."""
 
-    def __init__(self, out_dir: Path, names: str):
+    def __init__(self, path: Path):
+        self.path = path
+
+    def log(self, row: dict[str, Any]) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps({k: _jsonable(v) for k, v in row.items()}) + "\n")
+
+
+def _jsonable(v: Any) -> Any:
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    return v
+
+
+class WandbOfflineLogger:
+    """File-based wandb-offline run directory (reference default logger:
+    configs/logger/wandb.yaml). The network client isn't in this environment,
+    so the backend writes the offline run-dir contract directly:
+    `wandb/offline-run-<stamp>/files/` with `wandb-metadata.json` (run config),
+    an appended `wandb-history.jsonl` (one row per epoch, `_step` keyed), and
+    `wandb-summary.json` rewritten to the latest row — the same files a
+    `wandb sync`-able offline run exposes to readers."""
+
+    def __init__(self, out_dir: Path, run_config: dict[str, Any] | None = None):
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        self.run_dir = out_dir / "wandb" / f"offline-run-{stamp}"
+        self.files_dir = self.run_dir / "files"
+        self._step = 0
+        self._started = False
+        self._run_config = run_config or {}
+
+    def _start(self) -> None:
+        import platform
+
+        self.files_dir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "mode": "offline",
+            "startedAt": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "host": platform.node(),
+            "python": platform.python_version(),
+            "config": self._run_config,
+        }
+        (self.files_dir / "wandb-metadata.json").write_text(json.dumps(meta, indent=1) + "\n")
+        self._started = True
+
+    def log(self, row: dict[str, Any]) -> None:
+        if not self._started:
+            self._start()
+        rec = {"_step": self._step, "_timestamp": time.time()}
+        rec.update({k: _jsonable(v) for k, v in row.items()})
+        with open(self.files_dir / "wandb-history.jsonl", "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        (self.files_dir / "wandb-summary.json").write_text(json.dumps(rec) + "\n")
+        self._step += 1
+
+
+class MultiLogger:
+    """Fan a metrics row out to several backends
+    (csv, tensorboard, jsonl, wandb-offline)."""
+
+    def __init__(self, out_dir: Path, names: str, run_config: dict[str, Any] | None = None):
         self.backends: list[Any] = []
         for name in (n.strip() for n in names.split(",") if n.strip()):
             if name == "csv":
@@ -158,8 +221,14 @@ class MultiLogger:
                 from .tb_logger import TensorBoardLogger
 
                 self.backends.append(TensorBoardLogger(out_dir / "tb"))
+            elif name == "jsonl":
+                self.backends.append(JsonlLogger(out_dir / "metrics.jsonl"))
+            elif name in ("wandb", "wandb_offline"):
+                self.backends.append(WandbOfflineLogger(out_dir, run_config))
             else:
-                log.warning("unknown logger backend %r (csv, tensorboard)", name)
+                log.warning(
+                    "unknown logger backend %r (csv, tensorboard, jsonl, wandb_offline)", name
+                )
 
     def log(self, row: dict[str, Any]) -> None:
         for b in self.backends:
@@ -185,7 +254,7 @@ class Trainer:
         self.cfg = cfg
         self.out_dir = Path(cfg.output_dir) / cfg.task_name
         self.ckpt_dir = self.out_dir / "checkpoints"
-        self.logger = MultiLogger(self.out_dir, cfg.trainer.loggers)
+        self.logger = MultiLogger(self.out_dir, cfg.trainer.loggers, dataclasses.asdict(cfg))
         self.mesh = make_mesh(cfg.trainer.n_devices)
         self.history: list[dict[str, float]] = []
         self.best_ckpt_path: Path | None = None

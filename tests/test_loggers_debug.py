@@ -116,6 +116,43 @@ def test_overfit_batches(tmp_path):
     assert np.isfinite(tr.history[-1]["val/loss"])
 
 
+def test_jsonl_and_wandb_offline_backends(tmp_path):
+    """Offline experiment-tracker backends (reference default logger:
+    configs/logger/wandb.yaml; csv/tensorboard covered above)."""
+    import json
+
+    from deepchopper_tpu.train.loop import MultiLogger
+
+    ml = MultiLogger(tmp_path, "jsonl,wandb_offline", run_config={"model": {"name": "cnn"}})
+    ml.log({"epoch": 0, "train/loss": 1.5, "val/f1": np.float32(0.25)})
+    ml.log({"epoch": 1, "train/loss": 0.9, "val/f1": 0.5})
+
+    rows = [json.loads(ln) for ln in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert [r["epoch"] for r in rows] == [0, 1]
+    assert rows[0]["val/f1"] == 0.25  # numpy scalars serialized as plain JSON
+
+    run_dirs = list((tmp_path / "wandb").glob("offline-run-*"))
+    assert len(run_dirs) == 1
+    files = run_dirs[0] / "files"
+    meta = json.loads((files / "wandb-metadata.json").read_text())
+    assert meta["mode"] == "offline" and meta["config"]["model"]["name"] == "cnn"
+    hist = [json.loads(ln) for ln in (files / "wandb-history.jsonl").read_text().splitlines()]
+    assert [h["_step"] for h in hist] == [0, 1]
+    summary = json.loads((files / "wandb-summary.json").read_text())
+    assert summary["epoch"] == 1 and summary["val/f1"] == 0.5
+
+
+def test_unknown_logger_backend_warns(caplog):
+    import logging
+
+    from deepchopper_tpu.train.loop import MultiLogger
+
+    with caplog.at_level(logging.WARNING):
+        ml = MultiLogger(Path("/tmp/unused"), "csv,bogus")
+    assert len(ml.backends) == 1
+    assert any("bogus" in m for m in caplog.messages)
+
+
 def test_ranked_logger_and_suppress(caplog):
     import logging
 

@@ -76,6 +76,65 @@ def test_sharded_predict_merges_to_identical_chop(tmp_path):
     assert a == b
 
 
+def test_shard_parallel_chop_matches_single_host(tmp_path):
+    """Every rank chops its own predicted reads into a BGZF part stream and
+    rank 0 concatenates parts + EOF: the decompressed record multiset must
+    equal the single-host run (TPU-native replacement for the reference's
+    rank-0-rechops-everything contract, deepchopper/models/callbacks.py:25)."""
+    from deepchopper_tpu.chop.pipeline import multihost_stream_chop
+    from deepchopper_tpu.io.bgzf import BGZF_EOF
+    from deepchopper_tpu.io.predicts import load_predicts_from_batch_pts
+
+    rng = np.random.default_rng(1)
+    fq = tmp_path / "mh.fq"
+    _write_fastq(fq, rng)
+
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+    engine = PredictEngine(
+        bundle, max_length=512, tokens_per_batch=1 << 12, buckets=[128, 256, 512]
+    )
+    engine.predict_file(fq, tmp_path / "single", rank=0)
+    opts = ChopOptions(output_prefix=str(tmp_path / "single_out"), min_read_len=80)
+    st_single = run_chop([tmp_path / "single" / "0"], fq, opts)
+
+    for rank in range(2):
+        eng = PredictEngine(
+            bundle, max_length=512, tokens_per_batch=1 << 12, buckets=[128, 256, 512]
+        )
+        eng.predict_file(fq, tmp_path / "multi", rank=rank, shard=(rank, 2))
+
+    # In-process ranks: non-zero ranks first (they only write parts), rank 0
+    # last (it merges) — a no-op barrier stands in for sync_global_devices.
+    barrier_calls: list[str] = []
+    stats = None
+    for rank in (1, 0):
+        own = load_predicts_from_batch_pts(tmp_path / "multi" / "0", pattern=f"{rank}_*")
+        assert own and all(int(rid.split("_")[1]) % 2 == rank for rid in own)
+        opts2 = ChopOptions(output_prefix=str(tmp_path / "multi_out"), min_read_len=80)
+        st = multihost_stream_chop(
+            own, fq, opts2, rank=rank, nprocs=2, barrier=barrier_calls.append
+        )
+        stats = st if rank == 0 else stats
+        assert (st is None) == (rank != 0)
+    assert len(barrier_calls) == 2
+
+    assert stats.predicts_loaded == st_single.predicts_loaded == 40
+    assert stats.total_fq_count == st_single.total_fq_count == 40
+    assert stats.total_output_count == st_single.total_output_count
+
+    def records(path):
+        lines = gzip.open(path, "rb").read().splitlines()
+        assert len(lines) % 4 == 0
+        return sorted(tuple(lines[i : i + 4]) for i in range(0, len(lines), 4))
+
+    assert records(stats.output_file) == records(st_single.output_file)
+    # Byte-valid bgzip: exactly one EOF marker, at the very end.
+    raw = Path(stats.output_file).read_bytes()
+    assert raw.endswith(BGZF_EOF) and raw.count(BGZF_EOF) == 1
+    # Part streams and sidecars are cleaned up after the merge.
+    assert not list(tmp_path.glob(".dc_chop_part_*"))
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
