@@ -147,15 +147,18 @@ def short_depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray)
 
     Equivalent to lax.conv_general_dilated with feature_group_count=W, which
     lowers poorly on TPU for large group counts; k shifted elementwise FMAs
-    run on the VPU at memory speed. x: (B, L, W), kernel: (k, 1, W).
+    run on the VPU at memory speed. Runs in x's dtype (bf16 on the fast path —
+    a 3-tap FMA, so the error is ~1 ulp of bf16 and the op is HBM-bound).
+    x: (B, L, W), kernel: (k, 1, W).
     """
     taps = kernel.shape[0]
     seq_len = x.shape[1]
+    kernel = kernel.astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (taps - 1, 0), (0, 0)))
     out = xp[:, 0:seq_len, :] * kernel[0, 0][None, None, :]
     for t in range(1, taps):
         out = out + xp[:, t : t + seq_len, :] * kernel[t, 0][None, None, :]
-    return out + bias[None, None, :]
+    return out + bias[None, None, :].astype(x.dtype)
 
 
 class HyenaOperator(nn.Module):
@@ -175,7 +178,10 @@ class HyenaOperator(nn.Module):
 
         # Depthwise causal-ish short conv: torch Conv1d(k=3, padding=2) then
         # truncate to L — i.e. pad (2, 0) relative to a valid conv output of
-        # length L.
+        # length L. Runs in compute_dtype: the activation stream stays bf16
+        # on the fast path (the backbone is HBM-bandwidth-bound, not
+        # MXU-bound, so halving activation bytes is the win); the FFT conv
+        # below still computes in float32 internally.
         k_short = self.param(
             "short_filter_kernel",
             nn.initializers.lecun_normal(),
@@ -183,7 +189,7 @@ class HyenaOperator(nn.Module):
             jnp.float32,
         )
         b_short = self.param("short_filter_bias", nn.initializers.zeros, (width,), jnp.float32)
-        uc = short_depthwise_conv(proj.astype(jnp.float32), k_short, b_short)
+        uc = short_depthwise_conv(proj.astype(dtype), k_short, b_short)
 
         x2, x1, v = jnp.split(uc, 3, axis=-1)  # each (B, L, d)
 
@@ -191,9 +197,9 @@ class HyenaOperator(nn.Module):
 
         v = v * x1
         v = causal_conv(v, k_long, bias, cfg.conv_impl)
-        y = v * x2
+        y = v.astype(dtype) * x2
 
-        return nn.Dense(d, name="out_proj", dtype=dtype)(y.astype(dtype)).astype(jnp.float32)
+        return nn.Dense(d, name="out_proj", dtype=dtype)(y.astype(dtype))
 
 
 class HyenaMlp(nn.Module):
@@ -205,7 +211,7 @@ class HyenaMlp(nn.Module):
         dtype = jnp.dtype(cfg.compute_dtype)
         h = nn.Dense(cfg.d_inner, name="fc1", dtype=dtype)(x.astype(dtype))
         h = jax.nn.gelu(h, approximate=True)
-        return nn.Dense(cfg.d_model, name="fc2", dtype=dtype)(h).astype(jnp.float32)
+        return nn.Dense(cfg.d_model, name="fc2", dtype=dtype)(h)
 
 
 class HyenaBlock(nn.Module):
@@ -217,10 +223,13 @@ class HyenaBlock(nn.Module):
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         eps = cfg.layer_norm_epsilon
+        # LayerNorm statistics in float32 (dtype=f32 upcasts the bf16 stream,
+        # so mean/var never round in bf16); everything else — residual adds,
+        # short conv, gating, matmuls — stays in compute_dtype.
         h = nn.LayerNorm(epsilon=eps, name="norm1", dtype=jnp.float32)(r)
-        r = r + HyenaOperator(cfg, name="mixer")(h)
+        r = r + HyenaOperator(cfg, name="mixer")(h).astype(r.dtype)
         h = nn.LayerNorm(epsilon=eps, name="norm2", dtype=jnp.float32)(r)
-        r = r + HyenaMlp(cfg, name="mlp")(h)
+        r = r + HyenaMlp(cfg, name="mlp")(h).astype(r.dtype)
         return r
 
 
@@ -232,13 +241,15 @@ class HyenaBackbone(nn.Module):
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
         emb = nn.Embed(
             cfg.padded_vocab_size,
             cfg.d_model,
             name="word_embeddings",
-            dtype=jnp.float32,
+            dtype=dtype,
         )(input_ids)
         r = emb
         for i in range(cfg.n_layer):
             r = HyenaBlock(cfg, name=f"block_{i}")(r)
+        # Final norm in float32: the head consumes an f32 hidden state.
         return nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f", dtype=jnp.float32)(r)
