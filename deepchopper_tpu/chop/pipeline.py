@@ -218,6 +218,12 @@ def multihost_stream_chop(
     reference's output contract name. BGZF blocks are standalone gzip members,
     so the concatenation is a byte-valid bgzip file.
 
+    Ordering contract: records are grouped BY RANK (rank 0's reads
+    0, n, 2n, ... then rank 1's 1, n+1, ...), not in FASTQ order — the price
+    of stream concatenation without a rank-0 re-chop. The record MULTISET is
+    identical to a single-host run (tested); byte-level diffing against a
+    single-host output requires the nprocs=1 path.
+
     Returns the merged ChopStats on rank 0, None on other ranks.
     """
     import json as _json
@@ -262,19 +268,22 @@ def multihost_stream_chop(
     if rank != 0:
         return None
 
-    stats = ChopStats(total_fq_count=fq_count)
-    for r in range(nprocs):
-        _, sc = _part_paths(out_dir, r)
-        if not sc.exists():
-            raise FileNotFoundError(f"missing chop part sidecar for rank {r}: {sc}")
-        counts = _json.loads(sc.read_text())
-        stats.total_output_count += counts["output_count"]
-        stats.predicts_loaded += counts["predicts_loaded"]
-
     from ..io.bgzf import BGZF_EOF
 
+    stats = ChopStats(total_fq_count=fq_count)
     temp_output = out_dir / f".deepchopper_temp_{os.getpid()}.fq.gz"
     try:
+        # Validate every rank's sidecar INSIDE the cleanup scope: a missing
+        # part (a rank died between its write and the barrier) must not leak
+        # the other ranks' hidden part files for a retry to merge stale.
+        for r in range(nprocs):
+            _, sc = _part_paths(out_dir, r)
+            if not sc.exists():
+                raise FileNotFoundError(f"missing chop part sidecar for rank {r}: {sc}")
+            counts = _json.loads(sc.read_text())
+            stats.total_output_count += counts["output_count"]
+            stats.predicts_loaded += counts["predicts_loaded"]
+
         with open(temp_output, "wb") as out:
             for r in range(nprocs):
                 pp, _ = _part_paths(out_dir, r)

@@ -428,6 +428,10 @@ def cmd_train(args: argparse.Namespace) -> int:
             sampler=spec.get("sampler", "tpe"),
             n_startup_trials=int(spec.get("n_startup_trials", 5)),
             pruning=bool(spec.get("pruning", True)),
+            monitor=spec.get("monitor"),
+            monitor_mode=spec.get("monitor_mode"),
+            min_resource=int(spec.get("min_resource", 1)),
+            reduction_factor=int(spec.get("reduction_factor", 3)),
             output_dir=Path(cfg.output_dir) / "sweep",
         )
         best = trials[0] if trials else None

@@ -61,6 +61,10 @@ def parse_cigar_ops(cigar: str) -> list[tuple[int, str]]:
             # The reference's Cigar parser rejects unknown op codes
             # (src/output/bam.rs test_cigar_soft_clip, "1D5M10S5A" errors).
             raise ValueError(f"invalid CIGAR op {ch!r} in {cigar!r}")
+    if num:
+        # A trailing count with no op ("10S5") is a truncated CIGAR — reject
+        # like the reference parser instead of silently dropping it.
+        raise ValueError(f"truncated CIGAR (count without op) in {cigar!r}")
     return ops
 
 

@@ -187,6 +187,23 @@ def load_checkpoint(path: str | Path, template_params: Any) -> tuple[Any, dict]:
     with open(path, "rb") as fh:
         payload = pickle.load(fh)
     params = serialization.from_bytes(template_params, payload["params_msgpack"])
+    # from_bytes restores by tree structure and takes shapes from the
+    # serialized arrays — it does NOT validate them against the template, and
+    # flax apply would then silently run with the checkpoint's shapes. Fail
+    # loudly instead: a shape mismatch means the model config (e.g. a sweep
+    # trial's head_overrides) doesn't match the checkpoint.
+    mismatches = [
+        f"{jax.tree_util.keystr(kp)}: checkpoint {np.shape(a)} vs model {np.shape(b)}"
+        for (kp, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(params), jax.tree.leaves(template_params)
+        )
+        if np.shape(a) != np.shape(b)
+    ]
+    if mismatches:
+        raise ValueError(
+            f"checkpoint {path} does not match the model configuration "
+            f"({len(mismatches)} shape mismatches): " + "; ".join(mismatches[:5])
+        )
     return params, payload.get("metadata", {})
 
 
@@ -216,10 +233,16 @@ class DeepChopper:
         return ModelBundle(module=module, params=params, name=name, config=getattr(module, "backbone_config", None))
 
     @staticmethod
-    def from_checkpoint(checkpoint_path: str | Path, name: str = "hyenadna-small-32k-seqlen") -> ModelBundle:
+    def from_checkpoint(
+        checkpoint_path: str | Path,
+        name: str = "hyenadna-small-32k-seqlen",
+        head_overrides: dict | None = None,
+    ) -> ModelBundle:
         """Load a native checkpoint saved by `save_checkpoint`
-        (reference capability: dc_hg.py `from_checkpoint`)."""
-        bundle = DeepChopper.new(name)
+        (reference capability: dc_hg.py `from_checkpoint`). `head_overrides`
+        must match the overrides the checkpoint was trained with (the sweep's
+        test-on-best path rebuilds non-default-head trials through here)."""
+        bundle = DeepChopper.new(name, head_overrides=head_overrides)
         params, _meta = load_checkpoint(checkpoint_path, bundle.params)
         return dataclasses.replace(bundle, params=params)
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,12 @@ MIN_N = 512
 MAX_N = 65536
 
 
+# Read once at import: _tables() is lru_cached on n alone and jit caches
+# ignore env vars entirely, so flipping the knob mid-process would silently
+# mix factorizations between cached tables and freshly-traced kernels.
+_FORCED_N1 = int(os.environ.get("DEEPCHOPPER_FFT_N1") or 0)
+
+
 def _split(n: int) -> tuple[int, int]:
     """Factor N = n1 * n2 with the minor digit n1 sized for the lane dim.
 
@@ -65,24 +72,20 @@ def _split(n: int) -> tuple[int, int]:
     (multiples of 256) runs an exact-length transform, no pow2 padding.
     n1 prefers 128 (the MXU contraction width; a 64-wide contraction runs at
     half utilization, outweighing its ~2x lower MAC count — measured on v5e),
-    falling back to 64 when n2 = n/128 would be odd or < 8.
-    `DEEPCHOPPER_FFT_N1` forces a specific n1 for tuning.
+    falling back to 64 when n2 = n/128 would not be a multiple of 8 (the
+    f32 sublane tile — the kernel's table layouts assume 8-aligned n2).
+    `DEEPCHOPPER_FFT_N1` (read once at import) forces a specific n1 for
+    tuning.
     """
     if not (MIN_N <= n <= MAX_N) or n % 512 != 0:
         raise ValueError(
             f"pallas FFT conv requires {MIN_N} <= N <= {MAX_N} with N % 512 == 0, got {n}"
         )
-    import os
-
-    forced = os.environ.get("DEEPCHOPPER_FFT_N1")
-    if forced:
-        n1 = int(forced)
+    if _FORCED_N1:
+        n1 = _FORCED_N1
         if n % n1 == 0 and (n // n1) % 2 == 0:
             return n1, n // n1
-    # n1 = 128 matches the MXU contraction width (a 64-wide contraction runs
-    # at half utilization, outweighing its ~2x lower MAC count — measured on
-    # v5e); fall back to 64 when n2 = n/128 would be odd or < 8.
-    if n % 128 == 0 and (n // 128) % 2 == 0 and n // 128 >= 8:
+    if n % 128 == 0 and (n // 128) % 8 == 0:
         return 128, n // 128
     return 64, n // 64
 

@@ -274,7 +274,12 @@ class Trainer:
             if v is not None
         }
         if cfg.model.checkpoint:
-            bundle = DeepChopper.from_checkpoint(cfg.model.checkpoint, cfg.model.name)
+            # head_overrides must flow here too: the test-on-best/eval path
+            # rebuilds from the trial's checkpoint, whose head shapes match
+            # the overridden config, not the registry default.
+            bundle = DeepChopper.from_checkpoint(
+                cfg.model.checkpoint, cfg.model.name, head_overrides=head_overrides or None
+            )
         elif cfg.model.torch_checkpoint:
             bundle = DeepChopper.from_pretrained(
                 cfg.model.name, torch_checkpoint=cfg.model.torch_checkpoint

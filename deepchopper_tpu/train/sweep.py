@@ -24,6 +24,7 @@ The search-space grammar matches Hydra/Optuna's: `interval(lo, hi)`
 from __future__ import annotations
 
 import dataclasses
+import inspect
 import json
 import logging
 import math
@@ -39,15 +40,6 @@ log = logging.getLogger(__name__)
 
 _INTERVAL = re.compile(r"interval\(\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)\s*\)")
 _CHOICE = re.compile(r"choice\((.*)\)")
-
-# The reference's concrete search space (hyena_optuna.yaml:46-52), expressed
-# in this repo's config keys.
-HYENA_OPTUNA_SPACE: dict[str, str] = {
-    "optimizer.lr": "interval(0.0001, 0.1)",
-    "model.lin1_size": "choice(128, 256, 1024)",
-    "model.use_identity_layer_for_qual": "choice(false, true)",
-}
-
 
 @dataclasses.dataclass
 class SearchSpace:
@@ -227,7 +219,8 @@ def run_sweep(
     sampler: str = "tpe",
     n_startup_trials: int = 5,
     pruning: bool = True,
-    monitor: str = "val/f1",
+    monitor: str | None = None,
+    monitor_mode: str | None = None,
     min_resource: int = 1,
     reduction_factor: int = 3,
 ) -> list[Trial]:
@@ -238,12 +231,26 @@ def run_sweep(
     from .loop import TrialPruned, train as default_train
 
     train_fn = train_fn or default_train
+    accepts_callback = train_fn is default_train or (
+        "epoch_callback" in inspect.signature(train_fn).parameters
+    )
     if isinstance(space, dict):
         space = SearchSpace(space)
     rng = np.random.default_rng(seed)
     tpe = TPESampler(space, seed=seed, n_startup_trials=n_startup_trials)
+    # The pruner watches a PER-EPOCH row key, not the end-of-fit optimized
+    # metric. Default the monitor to the per-epoch form of optimized_metric
+    # (best_val_f1 -> val/f1) and its mode to the metric's own direction —
+    # a maximize sweep on f1 must never prune HIGH f1 trials, and a minimize
+    # sweep on val/loss must never inherit f1's orientation.
+    if monitor is None:
+        monitor = "val/f1" if optimized_metric == "best_val_f1" else optimized_metric
+    if monitor_mode is None:
+        monitor_mode = direction if monitor == optimized_metric else (
+            "minimize" if "loss" in monitor else "maximize"
+        )
     pruner = (
-        SuccessiveHalvingPruner(min_resource, reduction_factor, direction) if pruning else None
+        SuccessiveHalvingPruner(min_resource, reduction_factor, monitor_mode) if pruning else None
     )
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -269,9 +276,9 @@ def run_sweep(
 
         pruned = False
         try:
-            try:
+            if accepts_callback:
                 metrics = train_fn(cfg, epoch_callback=_cb)
-            except TypeError:
+            else:
                 metrics = train_fn(cfg)  # custom train_fn without callback support
             pruned = bool(metrics.get("pruned"))
             metric = float(metrics.get(optimized_metric, float("nan")))

@@ -183,6 +183,24 @@ class TestRegistryAndCheckpoints:
         for a, b in zip(flat1, flat2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_head_overrides_survive_checkpoint_rebuild(self, tmp_path):
+        """A sweep trial with a non-default head must reload through
+        from_checkpoint (the test-on-best path) with the SAME overrides;
+        dropping them collides the saved 96-wide head with the 1024-wide
+        registry default."""
+        over = {"lin1_size": 96}
+        bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", head_overrides=over)
+        save_checkpoint(tmp_path / "t.dc", bundle.params, {})
+        re = DeepChopper.from_checkpoint(
+            tmp_path / "t.dc", "hyenadna-tiny-1k-seqlen", head_overrides=over
+        )
+        assert re.module.head_config.lin1_size == 96
+        ids = jnp.zeros((1, 64), jnp.int32)
+        quals = jnp.zeros((1, 64), jnp.float32)
+        assert re.apply(ids, quals).shape == (1, 64, 2)
+        with pytest.raises(Exception):  # default-head template mismatches
+            DeepChopper.from_checkpoint(tmp_path / "t.dc", "hyenadna-tiny-1k-seqlen")
+
     def test_from_pretrained_without_ckpt_is_hard_error(self):
         # Silent random init produced garbage predictions; it must raise now
         # unless random_init is explicitly requested.

@@ -159,6 +159,62 @@ def test_trainer_epoch_callback_prunes(tmp_path, monkeypatch):
     assert tr.pruned and len(tr.history) == 2
 
 
+def test_minimize_sweep_prunes_high_loss_not_low(tmp_path):
+    """A minimize sweep on val/loss must prune HIGH-loss trials: the pruner's
+    orientation follows the monitored metric, not f1's default."""
+    from deepchopper_tpu.train.loop import TrialPruned
+
+    def fake_train(cfg, epoch_callback=None):
+        loss = cfg.optimizer.lr * 100  # low lr => low loss => better
+        for epoch in range(4):
+            if epoch_callback is not None:
+                try:
+                    epoch_callback({"epoch": epoch, "val/loss": loss})
+                except TrialPruned:
+                    return {"best_val_loss": loss, "pruned": 1.0}
+        return {"best_val_loss": loss}
+
+    trials = run_sweep(
+        TrainConfig(),
+        {"optimizer.lr": "interval(0.001, 0.01)"},
+        n_trials=10,
+        optimized_metric="best_val_loss",
+        direction="minimize",
+        monitor="val/loss",
+        output_dir=tmp_path,
+        train_fn=fake_train,
+        seed=5,
+        min_resource=1,
+        reduction_factor=2,
+    )
+    assert not trials[0].pruned  # the lowest-loss trial survived
+    pruned = [t for t in trials if t.pruned]
+    kept = [t for t in trials if not t.pruned]
+    assert pruned, "some high-loss trial should be pruned"
+    assert min(t.metric for t in pruned) >= min(t.metric for t in kept)
+
+
+def test_custom_train_fn_without_callback_runs_once(tmp_path):
+    """A train_fn without epoch_callback support runs exactly once per trial
+    (no except-TypeError double-run that would also swallow real TypeErrors)."""
+    calls = []
+
+    def plain_train(cfg):
+        calls.append(cfg.optimizer.lr)
+        return {"best_val_f1": 0.5}
+
+    trials = run_sweep(
+        TrainConfig(),
+        {"optimizer.lr": "interval(0.001, 0.01)"},
+        n_trials=3,
+        output_dir=tmp_path,
+        train_fn=plain_train,
+        seed=2,
+    )
+    assert len(calls) == 3
+    assert all(np.isfinite(t.metric) for t in trials)
+
+
 def test_run_sweep_survives_failing_trial(tmp_path):
     def flaky_train(cfg):
         if cfg.optimizer.lr > 0.005:
