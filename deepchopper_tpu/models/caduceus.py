@@ -27,8 +27,21 @@ from .config import CaduceusConfig
 from .hyena import short_depthwise_conv
 
 
-def selective_scan(u: jnp.ndarray, delta: jnp.ndarray, A: jnp.ndarray,
-                   B: jnp.ndarray, C: jnp.ndarray, D: jnp.ndarray) -> jnp.ndarray:
+def _combine(x, y):
+    a1, b1 = x
+    a2, b2 = y
+    return a2 * a1, a2 * b1 + b2
+
+
+def selective_scan(
+    u: jnp.ndarray,
+    delta: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: jnp.ndarray,
+    chunk: int | None = None,
+) -> jnp.ndarray:
     """Parallel selective SSM scan.
 
     u: (B, L, D_in); delta: (B, L, D_in); A: (D_in, N); B, C: (B, L, N);
@@ -37,17 +50,44 @@ def selective_scan(u: jnp.ndarray, delta: jnp.ndarray, A: jnp.ndarray,
     h[t] = exp(delta[t] A) h[t-1] + delta[t] B[t] u[t];  y[t] = C[t]·h[t] + D u[t]
     computed with an associative scan over composed affine maps (a, b):
     (a2, b2) ∘ (a1, b1) = (a2*a1, a2*b1 + b2).
+
+    `chunk` bounds live memory: the flat associative scan materializes O(L)
+    (B, L, D_in, N) float32 intermediates — at the Caduceus family's 131k
+    context that is tens of GB for a single read, far beyond HBM. With
+    `chunk=c`, a `lax.scan` walks L/c chunks carrying only the (B, D_in, N)
+    end-state; within a chunk the scan is still the parallel prefix (exact —
+    the affine maps compose associatively across the chunk boundary), so
+    live memory is O(c * D_in * N) regardless of L.
     """
+    seq_len = u.shape[1]
     da = jnp.einsum("bld,dn->bldn", delta, A)  # (B, L, D, N)
     a = jnp.exp(da)
     b = jnp.einsum("bld,bln,bld->bldn", delta, B, u)
 
-    def combine(x, y):
-        a1, b1 = x
-        a2, b2 = y
-        return a2 * a1, a2 * b1 + b2
+    if chunk is None or seq_len <= chunk:
+        _, h = jax.lax.associative_scan(_combine, (a, b), axis=1)
+    else:
+        if seq_len % chunk:
+            # Pad with the IDENTITY affine map (a=1, b=0): padded steps pass
+            # the carried state through unchanged, so the valid prefix of the
+            # output is exact.
+            pad = chunk - seq_len % chunk
+            a = jnp.pad(a, ((0, 0), (0, pad), (0, 0), (0, 0)), constant_values=1.0)
+            b = jnp.pad(b, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        nb, d_in, n = a.shape[0], a.shape[2], a.shape[3]
+        ac = a.reshape(nb, -1, chunk, d_in, n)
+        bc = b.reshape(nb, -1, chunk, d_in, n)
 
-    _, h = jax.lax.associative_scan(combine, (a, b), axis=1)
+        def step(h0, ab):
+            ai, bi = ab  # (B, chunk, D, N)
+            ca, cb = jax.lax.associative_scan(_combine, (ai, bi), axis=1)
+            h = ca * h0[:, None] + cb
+            return h[:, -1], h
+
+        h0 = jnp.zeros((nb, d_in, n), a.dtype)
+        _, hs = jax.lax.scan(step, h0, (ac.swapaxes(0, 1), bc.swapaxes(0, 1)))
+        h = hs.swapaxes(0, 1).reshape(nb, -1, d_in, n)[:, :seq_len]
+
     y = jnp.einsum("bldn,bln->bld", h, C)
     return y + u * D[None, None, :]
 
@@ -92,7 +132,7 @@ class MambaMixer(nn.Module):
         A = -jnp.exp(a_log)
         D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
-        y = selective_scan(xs, delta, A, Bp, Cp, D)
+        y = selective_scan(xs, delta, A, Bp, Cp, D, chunk=cfg.scan_chunk)
         y = y * jax.nn.silu(z)
         return nn.Dense(cfg.d_model, use_bias=False, name="out_proj", dtype=dtype)(
             y.astype(dtype)

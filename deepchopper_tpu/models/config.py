@@ -101,6 +101,10 @@ class CaduceusConfig:
     # weights); False = "ps" (separate reverse-mixer parameters) — both
     # reference variants (deepchopper/models/llm/caduceus.py:5-55).
     bidirectional_weight_tie: bool = True
+    # Selective-scan chunking: bounds live memory to O(chunk * d_inner *
+    # d_state) instead of O(L * ...) — the flat parallel scan at the 131k
+    # context would materialize tens of GB per read. None = flat scan.
+    scan_chunk: int | None = 2048
 
     @property
     def padded_vocab_size(self) -> int:
