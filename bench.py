@@ -104,8 +104,17 @@ def main() -> int:
                 }
             )
         )
+        # MFU from XLA's own per-executable cost model (no recompiles: served
+        # from the jit cache). v5e bf16 peak = 197 TFLOP/s.
+        flops = engine.estimated_flops()
+        device_s = stats.device_s or elapsed
+        mfu = None
+        if flops:
+            mfu = round(flops / device_s / 197e12, 4)
         profile = {
             "n_reads": n_reads,
+            "device_flops_dispatched": flops,
+            "estimated_mfu_vs_197tflops": mfu,
             "elapsed_s": round(elapsed, 3),
             "reads_per_s": round(reads_per_s, 1),
             "tokens": int(engine.stats.tokens),

@@ -45,6 +45,8 @@ class PredictStats:
     padded_tokens: int = 0  # tokens the device actually computed (B*W per step)
     elapsed_s: float = 0.0
     compile_s: float = 0.0
+    # dispatch count per padded (rows, width) shape — feeds the MFU estimate
+    shape_counts: dict = dataclasses.field(default_factory=dict)
 
     @property
     def reads_per_s(self) -> float:
@@ -255,6 +257,38 @@ class PredictEngine:
             np.asarray(out)
         return time.monotonic() - t0
 
+    def estimated_flops(self) -> float | None:
+        """Total device FLOPs dispatched so far, from XLA's own cost analysis.
+
+        Sums per-shape executable FLOPs (served from the jit/persistent cache,
+        so no recompilation) weighted by dispatch counts. Returns None when
+        the runtime exposes no cost model (e.g. CPU interpret paths).
+        """
+        total = 0.0
+        try:
+            for shape, count in self.stats.shape_counts.items():
+                fn = self._compiled.get(shape)
+                if fn is None:
+                    continue
+                ca = (
+                    fn.lower(
+                        self._params,
+                        jax.ShapeDtypeStruct(shape, jnp.int8),
+                        jax.ShapeDtypeStruct(shape, jnp.uint8),
+                    )
+                    .compile()
+                    .cost_analysis()
+                )
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else {}
+                flops = float(ca.get("flops", 0.0)) if ca else 0.0
+                if flops <= 0.0:
+                    return None
+                total += flops * count
+        except Exception:  # pragma: no cover - runtime-dependent
+            return None
+        return total or None
+
     # -- prediction -------------------------------------------------------
 
     def predict_batches(
@@ -302,6 +336,7 @@ class PredictEngine:
             except Exception:  # pragma: no cover - runtime-dependent
                 pass
             pending.append((batch, out_dev, ids_in.shape))
+            self.stats.shape_counts[ids_in.shape] = self.stats.shape_counts.get(ids_in.shape, 0) + 1
             self.stats.batches += 1
             self.stats.reads += b
             self.stats.tokens += int(batch.lengths.sum())
