@@ -1,6 +1,10 @@
 # Developer entry points (capability of the reference's Makefile targets).
 
-.PHONY: test quicktest bench profile native clean golden
+.PHONY: test quicktest bench profile native clean golden docs
+
+# Regenerate the generated documentation (docs/cli-reference.md).
+docs:
+	python scripts/gen_cli_reference.py
 
 test:
 	python -m pytest tests/ -q

@@ -19,7 +19,7 @@ from . import __version__
 def _add_predict(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("predict", help="Predict per-base adapter labels for a FASTQ")
     p.add_argument("data_path", type=Path, help="Path to the FASTQ dataset")
-    p.add_argument("--output", "-o", type=Path, default=Path("predictions"))
+    p.add_argument("--output", "-o", type=Path, default=Path("predictions"), help="Directory for prediction shards")
     p.add_argument("--batch-tokens", type=int, default=1 << 17, help="Tokens per device batch")
     p.add_argument("--batch-size", "-b", type=int, default=None, help="Cap on reads per batch")
     p.add_argument("--model", "-m", default="rna002", help="Model name (rna002, rna004, or registry name)")
@@ -30,56 +30,56 @@ def _add_predict(sub: argparse._SubParsersAction) -> None:
         action="store_true",
         help="Run with UNTRAINED weights (tests/benchmarks only; otherwise missing weights are a hard error)",
     )
-    p.add_argument("--max-sample", type=int, default=None)
-    p.add_argument("--limit-batches", type=int, default=None)
-    p.add_argument("--max-length", type=int, default=32768)
+    p.add_argument("--max-sample", type=int, default=None, help="Stop after this many reads")
+    p.add_argument("--limit-batches", type=int, default=None, help="Stop after this many device batches")
+    p.add_argument("--max-length", type=int, default=32768, help="Token window; longer reads are truncated and flagged")
     p.add_argument("--fused-chop", action="store_true", help="Skip shard IO: predict and chop in one pass")
     p.add_argument("--fq", type=Path, default=None, help="FASTQ for --fused-chop qualities (defaults to data_path)")
-    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--verbose", "-v", action="store_true", help="Restore suppressed third-party warnings and debug logs")
 
 
 def _add_chop(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("chop", help="Chop reads using prediction shards")
     p.add_argument("predicts", type=Path, nargs="+", help="Prediction shard dirs/files (.pt or .npz)")
     p.add_argument("fq", type=Path, help="FASTQ file")
-    p.add_argument("--smooth-window", "-s", type=int, default=21)
-    p.add_argument("--min-interval-size", "--mis", type=int, default=13)
-    p.add_argument("--approved-intervals", "-a", type=int, default=20)
-    p.add_argument("--max-process-intervals", "--mpi", type=int, default=4)
-    p.add_argument("--min-read-length", "--mcr", type=int, default=20)
-    p.add_argument("--output-chopped", "--ocq", action="store_true")
-    p.add_argument("--chop-type", "--ct", default="all", choices=["terminal", "internal", "all"])
-    p.add_argument("--threads", "-t", type=int, default=2)
-    p.add_argument("--output", "-o", dest="output_prefix", default=None)
-    p.add_argument("--max-batch", "-m", type=int, default=None)
-    p.add_argument("--chunk-size", type=int, default=10000)
-    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--smooth-window", "-s", type=int, default=21, help="Majority-vote smoothing window (odd)")
+    p.add_argument("--min-interval-size", "--mis", type=int, default=13, help="Drop predicted adapter intervals shorter than this")
+    p.add_argument("--approved-intervals", "-a", type=int, default=20, help="Reject reads with more smoothed intervals than this")
+    p.add_argument("--max-process-intervals", "--mpi", type=int, default=4, help="Pass reads through unchanged above this interval count")
+    p.add_argument("--min-read-length", "--mcr", type=int, default=20, help="Minimum kept-fragment length after chopping")
+    p.add_argument("--output-chopped", "--ocq", action="store_true", help="Emit the removed adapter sequences instead of the kept parts")
+    p.add_argument("--chop-type", "--ct", default="all", choices=["terminal", "internal", "all"], help="Restrict chopping to terminal/internal adapter reads")
+    p.add_argument("--threads", "-t", type=int, default=2, help="BGZF writer threads")
+    p.add_argument("--output", "-o", dest="output_prefix", default=None, help="Output prefix (default: input stem); suffix .<N>pd.<M>record.chop.fq.gz is appended")
+    p.add_argument("--max-batch", "-m", type=int, default=None, help="Cap on records processed per smoothing batch")
+    p.add_argument("--chunk-size", type=int, default=10000, help="Streaming chunk size in reads (bounds RSS)")
+    p.add_argument("--verbose", "-v", action="store_true", help="Restore suppressed third-party warnings and debug logs")
 
 
 def _add_misc(sub: argparse._SubParsersAction) -> None:
     p = sub.add_parser("web", help="Launch the web UI")
-    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--port", type=int, default=7860, help="HTTP port for the web UI")
     p.add_argument("--checkpoint", type=Path, default=None, help="Native checkpoint path")
     p.add_argument("--torch-checkpoint", type=Path, default=None, help="Reference torch checkpoint to convert")
     p.add_argument("--random-init", action="store_true", help="Run with UNTRAINED weights (demo only)")
 
     p = sub.add_parser("encode", help="Encode FASTQ(s) to parquet datasets")
-    p.add_argument("paths", type=Path, nargs="+")
+    p.add_argument("paths", type=Path, nargs="+", help="FASTQ files or folders of FASTQs")
     p.add_argument("--chunk", action="store_true", help="Write chunked parquet")
-    p.add_argument("--chunk-size", type=int, default=1_000_000)
+    p.add_argument("--chunk-size", type=int, default=1_000_000, help="Records per parquet chunk with --chunk")
 
     p = sub.add_parser("stat", help="Read-length summary for FASTQ/FASTA/BAM")
-    p.add_argument("path", type=Path)
+    p.add_argument("path", type=Path, help="FASTQ/FASTA/BAM file to summarize")
 
     p = sub.add_parser("eval-bam", help="BAM overlap evaluation of predictions")
-    p.add_argument("bam", type=Path)
+    p.add_argument("bam", type=Path, help="Aligned BAM of the ORIGINAL (unchopped) reads")
     p.add_argument("predicts", type=Path, help="Prediction shard dir")
-    p.add_argument("--output-dir", type=Path, default=Path("."))
-    p.add_argument("--blat-cli", default=None)
-    p.add_argument("--hg38-2bit", default=None)
-    p.add_argument("--internal-threshold", type=float, default=0.9)
-    p.add_argument("--overlap-threshold", type=float, default=0.5)
-    p.add_argument("--min-mapping-quality", type=int, default=0)
+    p.add_argument("--output-dir", type=Path, default=Path("."), help="Where stats_*.json / overlap_results_*.json land")
+    p.add_argument("--blat-cli", default=None, help="Path to the blat binary (enables BLAT categories)")
+    p.add_argument("--hg38-2bit", default=None, help="Reference genome .2bit for BLAT")
+    p.add_argument("--internal-threshold", type=float, default=0.9, help="Fraction of read length above which an interval counts as terminal")
+    p.add_argument("--overlap-threshold", type=float, default=0.5, help="Minimum softclip/interval overlap fraction")
+    p.add_argument("--min-mapping-quality", type=int, default=0, help="Skip alignments below this MAPQ")
 
     tools = sub.add_parser("tools", help="Developer utilities (reference dev binaries)")
     tsub = tools.add_subparsers(dest="tool", required=True)

@@ -45,6 +45,7 @@ class PredictStats:
     padded_tokens: int = 0  # tokens the device actually computed (B*W per step)
     elapsed_s: float = 0.0
     compile_s: float = 0.0
+    setup_s: float = 0.0  # one-time Mosaic/runtime setup (first Pallas exec)
     # dispatch count per padded (rows, width) shape — feeds the MFU estimate
     shape_counts: dict = dataclasses.field(default_factory=dict)
 
@@ -197,21 +198,61 @@ class PredictEngine:
         return n
 
     def _row_variants(self, width: int) -> list[int]:
-        """Compiled row counts per bucket: target plus /2, /4, /8, /16 tails.
+        """Compiled row counts per bucket: target plus /4 and /16 tails.
 
         Partial batches pad up to the smallest variant that fits instead of
-        the full target. Measured on the bench read-length distribution the
-        /2../16 ladder cuts row-padding waste from 10.4% to 3.9% of dispatched
-        tokens (vs /4,/16) for ~1.6x the per-bucket compile count — compiles
-        are parallel at warmup and served from the persistent cache after.
-        """
+        the full target. Round 3 shipped a denser /2,/4,/8,/16 ladder (waste
+        3.9% vs 10.4% of dispatched tokens) but the Mosaic kernel compile at
+        first execution is NOT served by the persistent XLA cache, so every
+        cold process pays ~15-25s per (rows, width) executable: the two extra
+        variants per bucket cost ~10 min of warmup to save ~6% of dispatched
+        tokens on the tail batches only. {t, t/4, t/16} keeps the worst-case
+        tail row padding under 4x while holding warmup at 3 shapes/bucket
+        (`DEEPCHOPPER_ROW_VARIANTS` overrides the divisor list, e.g.
+        "2,4,8,16" to restore the dense ladder)."""
+        import os
+
         t = self._bucket_batch_size(width)
         size = self.mesh.devices.size if self.mesh is not None else 1
+        divs = tuple(
+            int(x) for x in os.environ.get("DEEPCHOPPER_ROW_VARIANTS", "4,16").split(",") if x
+        )
         out = {t}
-        for div in (2, 4, 8, 16):
+        for div in divs:
             v = max(size, ((t // div) // size) * size, 1)
             out.add(v)
         return sorted(out)
+
+    def runtime_setup(self) -> float:
+        """Absorb the one-time Pallas/Mosaic runtime setup cost; returns seconds.
+
+        Measured on the tunneled chip: the FIRST Pallas kernel execution in a
+        process pays a large one-time cost (~25-450s depending on service
+        load) before the actual kernel compile; every subsequent kernel
+        compiles in single-digit seconds. Running a trivial one-tile kernel
+        first makes that cost explicit and keeps the per-bucket compile loop
+        fast — without it the first model executable absorbs the whole cost
+        and warmup appears serial. No-op off TPU and on repeat calls.
+        """
+        if self.stats.setup_s or jax.default_backend() != "tpu":
+            return 0.0
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def _triv(x_ref, o_ref):
+            o_ref[:] = x_ref[:] + 1.0
+
+        t0 = time.monotonic()
+        out = pl.pallas_call(
+            _triv,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.zeros((8, 128), jnp.float32))
+        np.asarray(out)
+        self.stats.setup_s = time.monotonic() - t0
+        log.info("pallas runtime setup in %.1fs", self.stats.setup_s)
+        return self.stats.setup_s
 
     def warmup(
         self,
@@ -220,17 +261,17 @@ class PredictEngine:
         max_workers: int | None = None,
     ) -> float:
         """Precompile every bucket shape (and tail row variants); returns
-        total wall seconds.
+        total wall seconds (including the one-time runtime setup).
 
-        Compiles run CONCURRENTLY across a thread pool — XLA compilation is
-        C++ and releases the GIL, so N distinct bucket shapes compile ~N-way
-        parallel instead of serially (cold-cache warmup was ~19 min serial).
+        `runtime_setup()` runs first so the per-shape loop isn't charged the
+        one-time Mosaic cost, then compiles run CONCURRENTLY across a thread
+        pool — XLA compilation is C++ and releases the GIL. The realized
+        overlap (sum of per-shape compile seconds / wall) is logged so a
+        serialized compile service is visible instead of assumed away.
         Partial batches pad up to the nearest compiled row variant, so after
         warmup the whole run executes with zero recompilation; the persistent
-        compilation cache makes this once-per-machine. Also performs one
-        device-to-host fetch to absorb the runtime's one-time transfer-path
-        setup cost (large on tunneled chips).
-        """
+        XLA cache makes the XLA share once-per-machine (the Mosaic share is
+        per-process — see runtime_setup)."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -240,6 +281,8 @@ class PredictEngine:
             shapes.extend((r, w) for r in rows)
         shapes = [s for s in dict.fromkeys(shapes) if s not in self._compiled]
         t0 = time.monotonic()
+        self.runtime_setup()
+        t_compile = time.monotonic()
         workers = max_workers or min(16, max(1, len(shapes)), os.cpu_count() or 8)
         if workers > 1 and len(shapes) > 1:
             with ThreadPoolExecutor(workers) as ex:
@@ -247,6 +290,15 @@ class PredictEngine:
         else:
             for s in shapes:
                 self._get_step(s)
+        wall = time.monotonic() - t_compile
+        if shapes and wall > 0:
+            log.info(
+                "warmup: %d shapes in %.1fs wall (compile-seconds %.1f, overlap %.1fx)",
+                len(shapes),
+                wall,
+                self.stats.compile_s,
+                self.stats.compile_s / wall,
+            )
         if shapes:
             shape = shapes[0]
             out = self._get_step(shape)(
@@ -260,10 +312,14 @@ class PredictEngine:
     def estimated_flops(self) -> float | None:
         """Total device FLOPs dispatched so far, from XLA's own cost analysis.
 
-        Sums per-shape executable FLOPs (served from the jit/persistent cache,
-        so no recompilation) weighted by dispatch counts. Returns None when
-        the runtime exposes no cost model (e.g. CPU interpret paths).
-        """
+        Sums per-shape executable FLOPs weighted by dispatch counts. Note
+        `fn.lower(...).compile()` is an AOT compile that bypasses the
+        in-memory jit cache — each distinct shape costs one (persistent-
+        disk-cache-served at best) XLA compile here, which is why this runs
+        once post-bench, not per batch. Shapes whose cost analysis reports
+        zero FLOPs are skipped (not fatal) so one odd executable doesn't
+        void the whole estimate; returns None only when nothing usable was
+        reported (e.g. CPU interpret paths)."""
         total = 0.0
         try:
             for shape, count in self.stats.shape_counts.items():
@@ -283,7 +339,7 @@ class PredictEngine:
                     ca = ca[0] if ca else {}
                 flops = float(ca.get("flops", 0.0)) if ca else 0.0
                 if flops <= 0.0:
-                    return None
+                    continue
                 total += flops * count
         except Exception:  # pragma: no cover - runtime-dependent
             return None

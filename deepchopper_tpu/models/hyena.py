@@ -161,8 +161,129 @@ def short_depthwise_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray)
     return out + bias[None, None, :].astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Channel-major building blocks.
+#
+# The backbone's residual stream runs CHANNEL-MAJOR, (D, B, L), end to end:
+# the Pallas gated-conv kernel wants per-channel blocks with the sequence
+# digit split (h, n1) in the minor dims, and in (D, B, L) that split is a
+# free row-major reshape — the round-3 layout paid two f32 (B, L, D)
+# transposes per layer per conv to get there. Matmuls contract the leading
+# channel axis (M=features, K=channels, N=B*L — ideal MXU shapes), LayerNorm
+# reduces axis 0 in float32, and the layout converts exactly twice per
+# forward: once after the embedding gather, once before the head.
+#
+# All param names/shapes are IDENTICAL to the previous (B, L, D) modules
+# (in_proj/out_proj/fc1/fc2 as nn.Dense-compatible kernel+bias, norm* as
+# scale+bias), so checkpoints and the torch converter are unaffected.
+# ---------------------------------------------------------------------------
+
+
+class DenseCM(nn.Module):
+    """nn.Dense-compatible linear on a channel-major (Cin, B, L) stream.
+
+    Params are named/shaped exactly like `nn.Dense` (kernel (Cin, Cout),
+    bias (Cout,)); the contraction runs as kernel^T @ x -> (Cout, B, L).
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x_cm: jnp.ndarray) -> jnp.ndarray:
+        cin = x_cm.shape[0]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32
+        )
+        y = jax.lax.dot_general(
+            kernel.astype(self.dtype),
+            x_cm.astype(self.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=self.dtype,
+        )  # (Cout, B, L)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)[:, None, None]
+        return y
+
+
+class LayerNormCM(nn.Module):
+    """nn.LayerNorm-compatible norm over the channel axis of (C, B, L).
+
+    Statistics in float32 (matching the previous dtype=f32 LayerNorm);
+    the OUTPUT is cast to `out_dtype` — bf16 on the fast path, which halves
+    the HBM stream the next matmul reads (the matmul cast to bf16 is the
+    same rounding the nn.Dense(dtype=bf16) input cast performed before).
+    """
+
+    epsilon: float = 1e-5
+    out_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cm: jnp.ndarray) -> jnp.ndarray:
+        c = x_cm.shape[0]
+        x32 = x_cm.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=0, keepdims=True)
+        # E[x^2] - E[x]^2, matching flax's use_fast_variance default.
+        var = jnp.maximum(jnp.mean(x32 * x32, axis=0, keepdims=True) - mean * mean, 0.0)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (y * scale[:, None, None] + bias[:, None, None]).astype(self.out_dtype)
+
+
+def short_depthwise_conv_cm(
+    x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """Channel-major short conv: x (W, B, L), kernel (k, 1, W), bias (W,).
+
+    Same semantics as `short_depthwise_conv` (k shifted FMAs along the
+    sequence axis, left pad k-1), in x's dtype on the VPU.
+    """
+    taps = kernel.shape[0]
+    seq_len = x.shape[2]
+    kernel = kernel.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (taps - 1, 0)))
+    out = xp[:, :, 0:seq_len] * kernel[0, 0][:, None, None]
+    for t in range(1, taps):
+        out = out + xp[:, :, t : t + seq_len] * kernel[t, 0][:, None, None]
+    return out + bias[:, None, None].astype(x.dtype)
+
+
+def gated_causal_conv_cm(
+    uc: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, impl: str
+) -> jnp.ndarray:
+    """Dispatch the fused gate+conv+gate on a channel-major stream.
+
+    uc: (3D, B, L) [x2 | x1 | v], k: (L, D), bias: (D,). Returns (D, B, L)
+    in uc's dtype. On TPU with a supported length this is ONE fused Pallas
+    dispatch (ops/pallas_fft.gated_fft_conv_cm); otherwise the same math
+    (f32 gates, f32 conv, cast back) runs in XLA via `causal_conv`.
+    """
+    d_model = k.shape[1]
+    seq_len = uc.shape[2]
+    n = 2 * seq_len
+    if impl == "pallas_fft":
+        from ..ops import pallas_fft
+
+        if (
+            pallas_fft.MIN_N <= n <= pallas_fft.MAX_N
+            and n % 512 == 0
+            and jax.default_backend() == "tpu"
+        ):
+            return pallas_fft.gated_fft_conv_cm(uc, k, bias)
+        impl = "matmul_fft"
+    x2, x1, v = uc[:d_model], uc[d_model : 2 * d_model], uc[2 * d_model :]
+    w = v.astype(jnp.float32) * x1.astype(jnp.float32)
+    z = causal_conv(jnp.moveaxis(w, 0, -1), k, bias, impl)  # (B, L, D) f32
+    return (jnp.moveaxis(z, -1, 0) * x2.astype(jnp.float32)).astype(uc.dtype)
+
+
 class HyenaOperator(nn.Module):
-    """Order-2 Hyena mixer: projections, depthwise short conv, gated long conv."""
+    """Order-2 Hyena mixer: projections, depthwise short conv, gated long conv.
+
+    Channel-major: consumes and returns (D, B, L)."""
 
     config: HyenaConfig
 
@@ -170,18 +291,15 @@ class HyenaOperator(nn.Module):
     def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         d = cfg.d_model
-        seq_len = u.shape[1]
+        seq_len = u.shape[2]
         width = (cfg.hyena_order + 1) * d
         dtype = jnp.dtype(cfg.compute_dtype)
 
-        proj = nn.Dense(width, name="in_proj", dtype=dtype)(u.astype(dtype))  # (B, L, 3d)
+        proj = DenseCM(width, name="in_proj", dtype=dtype)(u)  # (3d, B, L)
 
         # Depthwise causal-ish short conv: torch Conv1d(k=3, padding=2) then
         # truncate to L — i.e. pad (2, 0) relative to a valid conv output of
-        # length L. Runs in compute_dtype: the activation stream stays bf16
-        # on the fast path (the backbone is HBM-bandwidth-bound, not
-        # MXU-bound, so halving activation bytes is the win); the FFT conv
-        # below still computes in float32 internally.
+        # length L. Runs in compute_dtype (one fused VPU pass).
         k_short = self.param(
             "short_filter_kernel",
             nn.initializers.lecun_normal(),
@@ -189,17 +307,14 @@ class HyenaOperator(nn.Module):
             jnp.float32,
         )
         b_short = self.param("short_filter_bias", nn.initializers.zeros, (width,), jnp.float32)
-        uc = short_depthwise_conv(proj.astype(dtype), k_short, b_short)
-
-        x2, x1, v = jnp.split(uc, 3, axis=-1)  # each (B, L, d)
+        uc = short_depthwise_conv_cm(proj, k_short, b_short)  # (3d, B, L)
 
         k_long, bias = HyenaFilter(cfg, name="filter_fn")(seq_len)
 
-        v = v * x1
-        v = causal_conv(v, k_long, bias, cfg.conv_impl)
-        y = v.astype(dtype) * x2
+        # Fused gate -> long conv -> gate (one Pallas dispatch on TPU).
+        y = gated_causal_conv_cm(uc, k_long, bias, cfg.conv_impl)
 
-        return nn.Dense(d, name="out_proj", dtype=dtype)(y.astype(dtype))
+        return DenseCM(d, name="out_proj", dtype=dtype)(y)
 
 
 class HyenaMlp(nn.Module):
@@ -209,13 +324,15 @@ class HyenaMlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
-        h = nn.Dense(cfg.d_inner, name="fc1", dtype=dtype)(x.astype(dtype))
+        h = DenseCM(cfg.d_inner, name="fc1", dtype=dtype)(x)
         h = jax.nn.gelu(h, approximate=True)
-        return nn.Dense(cfg.d_model, name="fc2", dtype=dtype)(h)
+        return DenseCM(cfg.d_model, name="fc2", dtype=dtype)(h)
 
 
 class HyenaBlock(nn.Module):
-    """Pre-norm residual block: r += mixer(ln1(r)); r += mlp(ln2(r))."""
+    """Pre-norm residual block: r += mixer(ln1(r)); r += mlp(ln2(r)).
+
+    Channel-major (D, B, L) stream in compute_dtype."""
 
     config: HyenaConfig
 
@@ -223,18 +340,21 @@ class HyenaBlock(nn.Module):
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         eps = cfg.layer_norm_epsilon
-        # LayerNorm statistics in float32 (dtype=f32 upcasts the bf16 stream,
-        # so mean/var never round in bf16); everything else — residual adds,
-        # short conv, gating, matmuls — stays in compute_dtype.
-        h = nn.LayerNorm(epsilon=eps, name="norm1", dtype=jnp.float32)(r)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        # LayerNorm statistics in float32; the normalized stream is emitted
+        # in compute_dtype (the consumer matmuls cast there anyway).
+        h = LayerNormCM(epsilon=eps, name="norm1", out_dtype=dtype)(r)
         r = r + HyenaOperator(cfg, name="mixer")(h).astype(r.dtype)
-        h = nn.LayerNorm(epsilon=eps, name="norm2", dtype=jnp.float32)(r)
+        h = LayerNormCM(epsilon=eps, name="norm2", out_dtype=dtype)(r)
         r = r + HyenaMlp(cfg, name="mlp")(h).astype(r.dtype)
         return r
 
 
 class HyenaBackbone(nn.Module):
-    """Embedding -> n_layer HyenaBlocks -> final LayerNorm; returns (B, L, D)."""
+    """Embedding -> n_layer HyenaBlocks -> final LayerNorm; returns (B, L, D).
+
+    Internally channel-major (see module comment); the external contract is
+    unchanged: (B, L) int ids in, (B, L, D) float32 hidden states out."""
 
     config: HyenaConfig
 
@@ -248,8 +368,9 @@ class HyenaBackbone(nn.Module):
             name="word_embeddings",
             dtype=dtype,
         )(input_ids)
-        r = emb
+        r = jnp.moveaxis(emb, -1, 0)  # (D, B, L): one layout pass in
         for i in range(cfg.n_layer):
             r = HyenaBlock(cfg, name=f"block_{i}")(r)
         # Final norm in float32: the head consumes an f32 hidden state.
-        return nn.LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f", dtype=jnp.float32)(r)
+        h = LayerNormCM(epsilon=cfg.layer_norm_epsilon, name="ln_f", out_dtype=jnp.float32)(r)
+        return jnp.moveaxis(h, 0, -1)  # (B, L, D): one layout pass out

@@ -63,6 +63,18 @@ MAX_N = 65536
 # mix factorizations between cached tables and freshly-traced kernels.
 _FORCED_N1 = int(os.environ.get("DEEPCHOPPER_FFT_N1") or 0)
 
+# Matmul precision for the in-kernel DFT stages. Read ONCE at import (flipping
+# the env var mid-process would silently have no effect on already-traced
+# kernels — see ADVICE r3); call sites may also pass `precision=` explicitly,
+# which always wins. "bfloat16" (default) runs single-pass MXU matmuls — rel
+# err ~5e-3 on the assembled conv, the same order as the bf16 activation
+# stream the backbone already runs between ops, and measured 1.7x whole-model
+# throughput; per-base labels on a trained model are unchanged (margins >>
+# noise, and majority-vote smoothing absorbs isolated flips). "float32"
+# forces multi-pass exact dots (~2e-7) for numerical debugging; Mosaic
+# rejects intermediate precisions.
+DEFAULT_PRECISION = os.environ.get("DEEPCHOPPER_FFT_PRECISION", "bfloat16")
+
 
 def _split(n: int) -> tuple[int, int]:
     """Factor N = n1 * n2 with the minor digit n1 sized for the lane dim.
@@ -159,6 +171,36 @@ def khat_scrambled(
     return fr, fi
 
 
+def _mm_helpers(b: int, precision: str):
+    """The two Mosaic-safe matmul orientations (see module docstring).
+
+    rmm: (B, n2, X) @ (X, Y) -> (B, n2, Y) — right-mult, contracts the lane dim.
+    lmm: (Y, X) [left-broadcast over B] @ (B, X, n1) -> (B, Y, n1) — contracts
+         the MIDDLE axis without any transpose.
+    `precision` is passed explicitly (see DEFAULT_PRECISION).
+    """
+
+    def rmm(a, m):
+        # Merge the leading (B, n2) dims so this is ONE (B*n2, X) @ (X, Y)
+        # matmul instead of B batched small ones — Mosaic lowers the batched
+        # form as per-batch matmul macros (slow to run AND to compile).
+        bb, r, c = a.shape
+        y = jax.lax.dot_general(
+            a.reshape(bb * r, c), m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        return y.reshape(bb, r, m.shape[1])
+
+    def lmm(m, a):
+        mb = jnp.broadcast_to(m, (b, *m.shape))
+        return jax.lax.dot_general(
+            mb, a, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    return rmm, lmm
+
+
 def _conv_kernel(
     v_ref,
     kr_ref,
@@ -176,6 +218,8 @@ def _conv_kernel(
     ic2h_ref,
     is2h_ref,
     out_ref,
+    *,
+    precision: str,
 ):
     """One channel: y = causal_conv(v, k + bias*delta)[:L], fully in VMEM.
 
@@ -186,33 +230,7 @@ def _conv_kernel(
     b, h, n1 = xh.shape
     n2 = 2 * h
 
-    import os
-
-    prec = os.environ.get("DEEPCHOPPER_FFT_PRECISION", "bfloat16")
-
-    def rmm(a, m):
-        # (B, n2, X) @ (X, Y) -> (B, n2, Y): right-mult, contracts the lane dim.
-        # precision: "bfloat16" (default) runs single-pass MXU matmuls — rel
-        # err ~5e-3 on the assembled conv, the same order as the bf16
-        # activation stream the backbone already runs between ops, and
-        # measured 1.7x whole-model throughput (87.6 -> 50.5 ms/step at
-        # (256, 1024)); per-base labels on a trained model are unchanged
-        # (margins >> noise, and majority-vote smoothing absorbs isolated
-        # flips). "float32" forces multi-pass exact dots (~2e-7) for
-        # numerical debugging; Mosaic rejects intermediate precisions.
-        return jax.lax.dot_general(
-            a, m, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-
-    def lmm(m, a):
-        # (Y, X) [left-broadcast over B] @ (B, X, n1) -> (B, Y, n1):
-        # contracts the MIDDLE axis without any transpose.
-        mb = jnp.broadcast_to(m, (b, *m.shape))
-        return jax.lax.dot_general(
-            mb, a, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+    rmm, lmm = _mm_helpers(b, precision)
 
     # Forward stage 1: contract j2 over the non-padded half (left-mult).
     tr = lmm(c2h_ref[:], xh)  # (B, n2, n1) [k2, j1]
@@ -247,7 +265,12 @@ def _conv_kernel(
 
 
 def fft_causal_conv_pallas(
-    v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, *, interpret: bool | None = None
+    v: jnp.ndarray,
+    k: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Causal long conv y = (v * k)[:L] + v*bias as one fused Pallas kernel.
 
@@ -263,11 +286,16 @@ def fft_causal_conv_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _conv_autodiff(v, k, bias, interpret)
+    return _conv_autodiff(v, k, bias, interpret, precision or DEFAULT_PRECISION)
 
 
 def _fft_causal_conv_pallas_impl(
-    v: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray, *, interpret: bool | None = None
+    v: jnp.ndarray,
+    k: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    precision: str = "bfloat16",
 ) -> jnp.ndarray:
     batch, seq_len, d_model = v.shape
     n = 2 * seq_len
@@ -313,7 +341,7 @@ def _fft_causal_conv_pallas_impl(
     # MACs: fwd s1 2*(B*n2*h*n1) + fwd s2 4*(B*n2*n1*n1) + inv s1 4 + inv s2 2.
     flops_fft = 2 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
     out = pl.pallas_call(
-        _conv_kernel,
+        functools.partial(_conv_kernel, precision=precision),
         # b is the fast axis so each channel's filter/tables stay resident
         # across its batch tiles.
         grid=(d_model, nb),
@@ -344,16 +372,19 @@ def _fft_causal_conv_pallas_impl(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _conv_autodiff(v, k, bias, interpret):
-    return _fft_causal_conv_pallas_impl(v, k, bias, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv_autodiff(v, k, bias, interpret, precision):
+    return _fft_causal_conv_pallas_impl(v, k, bias, interpret=interpret, precision=precision)
 
 
-def _conv_fwd(v, k, bias, interpret):
-    return _fft_causal_conv_pallas_impl(v, k, bias, interpret=interpret), (v, k, bias)
+def _conv_fwd(v, k, bias, interpret, precision):
+    return (
+        _fft_causal_conv_pallas_impl(v, k, bias, interpret=interpret, precision=precision),
+        (v, k, bias),
+    )
 
 
-def _conv_bwd(interpret, res, dy):
+def _conv_bwd(interpret, precision, res, dy):
     v, k, bias = res
     seq_len = v.shape[1]
     n = 2 * seq_len
@@ -372,3 +403,229 @@ def _conv_bwd(interpret, res, dy):
 
 
 _conv_autodiff.defvjp(_conv_fwd, _conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused gated conv, channel-major: y = (conv((v*x1), k) + (v*x1)*bias) * x2.
+#
+# The round-3 kernel fused only the FFT conv; the pre-gate (v*x1), post-gate
+# (y*x2), the float32 casts, and the channel-major transposes each round-
+# tripped a (B, L, D) activation through HBM per layer on an HBM-bound model.
+# This kernel takes the short-conv output `uc` ALREADY channel-major
+# ((3D, B, L) — the backbone produces that layout natively, see
+# models/hyena.py) in the compute dtype (bf16 on the fast path), performs
+# gate -> FFT conv -> gate entirely in VMEM, and writes the gated output in
+# the compute dtype: HBM traffic for the whole gated-conv stage drops from
+# ~9 KB/token/layer (f32 transposes + 3 elementwise passes + f32 kernel IO)
+# to ~2 KB/token/layer (bf16 in x3 slices, bf16 out).
+#
+# Reference capability this accelerates: the HyenaDNA gated long-conv
+# operator (reference: deepchopper/models/llm/hyena.py:29-41). TPU-native
+# engineering with no reference counterpart.
+# ---------------------------------------------------------------------------
+
+
+def _gated_kernel(
+    x2_ref,
+    x1_ref,
+    v_ref,
+    kr_ref,
+    ki_ref,
+    c2h_ref,
+    s2h_ref,
+    ctw_ref,
+    stw_ref,
+    c1_ref,
+    s1_ref,
+    ic1_ref,
+    is1_ref,
+    ictw_ref,
+    istw_ref,
+    ic2h_ref,
+    is2h_ref,
+    out_ref,
+    *,
+    precision: str,
+):
+    """One channel: out = (causal_conv(v*x1, k + bias*delta)[:L]) * x2.
+
+    Refs are (1, B, h, n1) blocks of the channel-major digit layout; the
+    gates run on the VPU in float32, the DFT stages on the MXU.
+    """
+    n_group = v_ref.shape[0]
+    for g in range(n_group):  # static unroll: one FFT-conv per grouped channel
+        xh = (v_ref[g] * x1_ref[g]).astype(jnp.float32)  # (B, h, n1)
+        b, h, n1 = xh.shape
+
+        rmm, lmm = _mm_helpers(b, precision)
+
+        tr = lmm(c2h_ref[:], xh)
+        ti = lmm(s2h_ref[:], xh)
+
+        ctw, stw = ctw_ref[:], stw_ref[:]
+        tr, ti = tr * ctw - ti * stw, tr * stw + ti * ctw
+
+        c1, s1 = c1_ref[:], s1_ref[:]
+        xr = rmm(tr, c1) - rmm(ti, s1)
+        xi = rmm(tr, s1) + rmm(ti, c1)
+
+        kr, ki = kr_ref[g], ki_ref[g]
+        yr = xr * kr - xi * ki
+        yi = xr * ki + xi * kr
+
+        ic1, is1 = ic1_ref[:], is1_ref[:]
+        sr = rmm(yr, ic1) - rmm(yi, is1)
+        si = rmm(yr, is1) + rmm(yi, ic1)
+
+        ictw, istw = ictw_ref[:], istw_ref[:]
+        sr, si = sr * ictw - si * istw, sr * istw + si * ictw
+
+        y = lmm(ic2h_ref[:], sr) - lmm(is2h_ref[:], si)  # (B, h, n1) natural order
+        out_ref[g] = (y * x2_ref[g].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _gated_conv_cm_impl(
+    uc: jnp.ndarray,
+    k: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool,
+    precision: str,
+) -> jnp.ndarray:
+    """uc: (3D, B, L) channel-major [x2 | x1 | v], k: (L, D), bias: (D,).
+
+    Returns (D, B, L) in uc's dtype. The (B, L) -> (B, h, n1) digit split is
+    a free row-major reshape in this layout — no transpose passes at all.
+    """
+    width, batch, seq_len = uc.shape
+    d_model = width // 3
+    n = 2 * seq_len
+    n1, n2 = _split(n)
+    h = n2 // 2
+
+    cap = int(os.environ.get("DEEPCHOPPER_FFT_BT_CAP", "65536"))
+    bt = max(1, min(batch, cap // n))
+    padded_batch = ((batch + bt - 1) // bt) * bt
+    if padded_batch != batch:
+        uc = jnp.pad(uc, ((0, 0), (0, padded_batch - batch), (0, 0)))
+    nb = padded_batch // bt
+
+    # Channel grouping: each grid step DMAs and processes `cg` channels, so
+    # per-step dispatch/DMA-latency overhead amortizes over cg FFT convs
+    # (the per-channel VMEM intermediates are unchanged — the unrolled loop
+    # reuses them).
+    cg = int(os.environ.get("DEEPCHOPPER_FFT_CG", "8"))
+    while d_model % cg:
+        cg //= 2
+    cg = max(cg, 1)
+
+    ucd = uc.reshape(width, padded_batch, h, n1)  # free: row-major digit split
+    kr, ki = khat_scrambled(k, n, bias)  # (D, n2, n1) each
+
+    t = _tables(n)
+    tables = [
+        t["c2h"], t["s2h"], t["ctw"], t["stw"], t["c1"], t["s1"],
+        t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
+    ]  # fmt: skip
+
+    blk = (cg, bt, h, n1)
+    x2_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
+    x1_spec = pl.BlockSpec(
+        blk, lambda d, b, _G=d_model // cg: (d + _G, b, 0, 0), memory_space=pltpu.VMEM
+    )
+    v_spec = pl.BlockSpec(
+        blk, lambda d, b, _G=d_model // cg: (d + 2 * _G, b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
+    khat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = [
+        pl.BlockSpec(a.shape, lambda d, b: (0, 0), memory_space=pltpu.VMEM) for a in tables
+    ]
+
+    flops_fft = 2 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
+    itemsize = jnp.dtype(uc.dtype).itemsize
+    out = pl.pallas_call(
+        functools.partial(_gated_kernel, precision=precision),
+        grid=(d_model // cg, nb),
+        in_specs=[x2_spec, x1_spec, v_spec, khat_spec, khat_spec, *table_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((d_model, padded_batch, h, n1), uc.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_fft,
+            bytes_accessed=4 * d_model * padded_batch * seq_len * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ucd, ucd, ucd, kr, ki, *[jnp.asarray(a) for a in tables])
+
+    return out.reshape(d_model, padded_batch, seq_len)[:, :batch]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gated_autodiff(uc, k, bias, interpret, precision):
+    return _gated_conv_cm_impl(uc, k, bias, interpret=interpret, precision=precision)
+
+
+def _gated_fwd(uc, k, bias, interpret, precision):
+    y = _gated_conv_cm_impl(uc, k, bias, interpret=interpret, precision=precision)
+    return y, (uc, k, bias)
+
+
+def _gated_bwd(interpret, precision, res, dy):
+    """Backward through gate -> conv -> gate via FFT correlations (XLA).
+
+    With w = v*x1 and z = conv_k(w) + w*bias (all f32):
+      dz  = dy * x2            dx2 = dy * z   (z recomputed, not saved)
+      dw  = corr_k(dz) + dz*b  dv  = dw * x1  dx1 = dw * v
+      dk  = corr over (B) of (dz, w)          db  = sum dz * w
+    """
+    uc, k, bias = res
+    d_model = k.shape[1]
+    seq_len = uc.shape[2]
+    n = 2 * seq_len
+    x2 = uc[:d_model].astype(jnp.float32)
+    x1 = uc[d_model : 2 * d_model].astype(jnp.float32)
+    v = uc[2 * d_model :].astype(jnp.float32)
+    dy32 = dy.astype(jnp.float32)
+
+    w = v * x1  # (D, B, L)
+    k_f = jnp.fft.rfft(k.astype(jnp.float32).T, n=n, axis=-1)  # (D, F)
+    w_f = jnp.fft.rfft(w, n=n, axis=-1)  # (D, B, F)
+    z = (
+        jnp.fft.irfft(w_f * k_f[:, None, :], n=n, axis=-1)[..., :seq_len]
+        + w * bias[:, None, None]
+    )
+    dz = dy32 * x2
+    dx2 = dy32 * z
+    dz_f = jnp.fft.rfft(dz, n=n, axis=-1)
+    dw = (
+        jnp.fft.irfft(dz_f * jnp.conj(k_f)[:, None, :], n=n, axis=-1)[..., :seq_len]
+        + dz * bias[:, None, None]
+    )
+    dv = dw * x1
+    dx1 = dw * v
+    dk = jnp.fft.irfft(jnp.sum(dz_f * jnp.conj(w_f), axis=1), n=n, axis=-1)[..., :seq_len]
+    dbias = jnp.sum(dz * w, axis=(1, 2))
+    duc = jnp.concatenate([dx2, dx1, dv], axis=0).astype(uc.dtype)
+    return duc, dk.T.astype(k.dtype), dbias.astype(bias.dtype)
+
+
+_gated_autodiff.defvjp(_gated_fwd, _gated_bwd)
+
+
+def gated_fft_conv_cm(
+    uc: jnp.ndarray,
+    k: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """Fused gate+conv+gate, channel-major (see _gated_conv_cm_impl).
+
+    uc: (3D, B, L) [x2 | x1 | v] in compute dtype, k: (L, D), bias: (D,).
+    Returns (D, B, L) in uc's dtype. Differentiable (custom VJP above).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _gated_autodiff(uc, k, bias, interpret, precision or DEFAULT_PRECISION)

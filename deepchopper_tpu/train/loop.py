@@ -208,9 +208,92 @@ class WandbOfflineLogger:
         self._step += 1
 
 
+class MlflowFileLogger:
+    """mlflow local file-store run directory (reference:
+    configs/logger/mlflow.yaml). mlflow's default tracking backend is just a
+    `./mlruns` directory tree — no client or network needed to WRITE it, and
+    a stock `mlflow ui` pointed at the directory reads it:
+
+        mlruns/0/meta.yaml                  experiment metadata
+        mlruns/0/<run_id>/meta.yaml         run metadata
+        mlruns/0/<run_id>/metrics/<key>     lines of "<ts_ms> <value> <step>"
+        mlruns/0/<run_id>/params/<key>      one value per file
+        mlruns/0/<run_id>/tags/mlflow.runName
+
+    (neptune/comet/aim — the reference's remaining logger backends — are
+    network-client-bound and intentionally absent; see docs/logging.md.)"""
+
+    EXPERIMENT_ID = "0"
+
+    def __init__(self, out_dir: Path, run_config: dict[str, Any] | None = None):
+        import uuid
+
+        self.root = out_dir / "mlruns"
+        self.run_id = uuid.uuid4().hex
+        self.exp_dir = self.root / self.EXPERIMENT_ID
+        self.run_dir = self.exp_dir / self.run_id
+        self._run_config = run_config or {}
+        self._started = False
+        self._start_ms = 0
+        self._step = 0
+
+    def _start(self) -> None:
+        now_ms = int(time.time() * 1000)
+        self._start_ms = now_ms
+        (self.run_dir / "metrics").mkdir(parents=True, exist_ok=True)
+        (self.run_dir / "params").mkdir(exist_ok=True)
+        (self.run_dir / "tags").mkdir(exist_ok=True)
+        (self.run_dir / "artifacts").mkdir(exist_ok=True)
+        exp_meta = self.exp_dir / "meta.yaml"
+        if not exp_meta.exists():
+            exp_meta.write_text(
+                f"artifact_location: {self.exp_dir.resolve().as_uri()}\n"
+                f"creation_time: {now_ms}\n"
+                f"experiment_id: '{self.EXPERIMENT_ID}'\n"
+                f"last_update_time: {now_ms}\n"
+                "lifecycle_stage: active\n"
+                "name: deepchopper\n"
+            )
+        (self.run_dir / "meta.yaml").write_text(
+            f"artifact_uri: {(self.run_dir / 'artifacts').resolve().as_uri()}\n"
+            "end_time: null\n"
+            "entry_point_name: ''\n"
+            f"experiment_id: '{self.EXPERIMENT_ID}'\n"
+            "lifecycle_stage: active\n"
+            f"run_id: {self.run_id}\n"
+            f"run_name: run-{self.run_id[:8]}\n"
+            f"run_uuid: {self.run_id}\n"
+            "source_name: ''\n"
+            "source_type: 4\n"
+            "source_version: ''\n"
+            f"start_time: {now_ms}\n"
+            "status: 1\n"
+            "user_id: deepchopper\n"
+        )
+        (self.run_dir / "tags" / "mlflow.runName").write_text(f"run-{self.run_id[:8]}")
+        for key, val in self._run_config.items():
+            safe = str(key).replace("/", "_")
+            (self.run_dir / "params" / safe).write_text(str(val))
+        self._started = True
+
+    def log(self, row: dict[str, Any]) -> None:
+        if not self._started:
+            self._start()
+        ts = int(time.time() * 1000)
+        step = int(row.get("epoch", self._step))
+        for key, val in row.items():
+            if not isinstance(val, (int, float, np.floating, np.integer)):
+                continue
+            path = self.run_dir / "metrics" / str(key)
+            path.parent.mkdir(parents=True, exist_ok=True)  # keys may contain '/'
+            with open(path, "a") as fh:
+                fh.write(f"{ts} {_jsonable(val)} {step}\n")
+        self._step += 1
+
+
 class MultiLogger:
     """Fan a metrics row out to several backends
-    (csv, tensorboard, jsonl, wandb-offline)."""
+    (csv, tensorboard, jsonl, wandb-offline, mlflow file store)."""
 
     def __init__(self, out_dir: Path, names: str, run_config: dict[str, Any] | None = None):
         self.backends: list[Any] = []
@@ -225,9 +308,13 @@ class MultiLogger:
                 self.backends.append(JsonlLogger(out_dir / "metrics.jsonl"))
             elif name in ("wandb", "wandb_offline"):
                 self.backends.append(WandbOfflineLogger(out_dir, run_config))
+            elif name == "mlflow":
+                self.backends.append(MlflowFileLogger(out_dir, run_config))
             else:
                 log.warning(
-                    "unknown logger backend %r (csv, tensorboard, jsonl, wandb_offline)", name
+                    "unknown logger backend %r "
+                    "(csv, tensorboard, jsonl, wandb_offline, mlflow)",
+                    name,
                 )
 
     def log(self, row: dict[str, Any]) -> None:

@@ -142,6 +142,36 @@ def test_jsonl_and_wandb_offline_backends(tmp_path):
     assert summary["epoch"] == 1 and summary["val/f1"] == 0.5
 
 
+def test_mlflow_file_store_backend(tmp_path):
+    """mlflow's local file store is directories + text files — writable with
+    no client and readable by a stock `mlflow ui` (reference:
+    configs/logger/mlflow.yaml)."""
+    from deepchopper_tpu.train.loop import MultiLogger
+
+    ml = MultiLogger(tmp_path, "mlflow", run_config={"model.name": "hyena", "lr": 2e-4})
+    ml.log({"epoch": 0, "train/loss": 1.5, "val/f1": np.float32(0.25), "note": "skipme"})
+    ml.log({"epoch": 1, "train/loss": 0.9, "val/f1": 0.5})
+
+    exp_dir = tmp_path / "mlruns" / "0"
+    assert "name: deepchopper" in (exp_dir / "meta.yaml").read_text()
+    run_dirs = [d for d in exp_dir.iterdir() if d.is_dir()]
+    assert len(run_dirs) == 1
+    run = run_dirs[0]
+    meta = (run / "meta.yaml").read_text()
+    assert f"run_id: {run.name}" in meta and "lifecycle_stage: active" in meta
+    # params written once from run_config
+    assert (run / "params" / "lr").read_text() == "0.0002"
+    # metric files: "<ts_ms> <value> <step>" per line, slash keys nest
+    lines = (run / "metrics" / "val" / "f1").read_text().splitlines()
+    assert len(lines) == 2
+    ts, val, step = lines[0].split()
+    assert float(val) == 0.25 and step == "0"
+    assert (run / "metrics" / "train" / "loss").exists()
+    # non-numeric values are skipped, not written as metrics
+    assert not (run / "metrics" / "note").exists()
+    assert (run / "tags" / "mlflow.runName").read_text().startswith("run-")
+
+
 def test_unknown_logger_backend_warns(caplog):
     import logging
 

@@ -20,8 +20,103 @@ def test_pallas_conv_matches_fft(shape):
     ).astype(np.float32)
     bias = rng.standard_normal(d_model).astype(np.float32)
     ref = np.asarray(fft_causal_conv(jnp.asarray(v), jnp.asarray(k), jnp.asarray(bias)))
-    got = np.asarray(fft_causal_conv_pallas(jnp.asarray(v), jnp.asarray(k), jnp.asarray(bias)))
+    # precision pinned: the default ("bfloat16") runs the DFT matmuls at
+    # ~5e-3 rel err on TPU hardware, which this exact-comparison tolerance
+    # would reject (see ADVICE r3 / validate_fft_precision.py).
+    got = np.asarray(
+        fft_causal_conv_pallas(
+            jnp.asarray(v), jnp.asarray(k), jnp.asarray(bias), precision="float32"
+        )
+    )
     np.testing.assert_allclose(got, ref, atol=5e-5 * max(1.0, np.abs(ref).max()))
+
+
+@pytest.mark.parametrize("shape", [(4, 256, 8), (2, 1024, 4), (2, 2048, 6)])
+def test_gated_conv_cm_matches_composed_reference(shape):
+    """Fused gate+conv+gate kernel vs the op math composed from stock pieces."""
+    from deepchopper_tpu.ops.pallas_fft import gated_fft_conv_cm
+
+    batch, seq_len, d_model = shape
+    rng = np.random.default_rng(seq_len + 1)
+    uc = rng.standard_normal((3 * d_model, batch, seq_len)).astype(np.float32)
+    k = (
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None]
+    ).astype(np.float32)
+    bias = rng.standard_normal(d_model).astype(np.float32)
+
+    x2, x1, v = uc[:d_model], uc[d_model : 2 * d_model], uc[2 * d_model :]
+    w = jnp.moveaxis(jnp.asarray(v * x1), 0, -1)  # (B, L, D)
+    z = fft_causal_conv(w, jnp.asarray(k), jnp.asarray(bias))
+    ref = np.asarray(jnp.moveaxis(z, -1, 0)) * x2
+
+    got = np.asarray(
+        gated_fft_conv_cm(
+            jnp.asarray(uc), jnp.asarray(k), jnp.asarray(bias),
+            interpret=True, precision="float32",
+        )
+    )
+    assert got.shape == (d_model, batch, seq_len)
+    np.testing.assert_allclose(got, ref, atol=5e-5 * max(1.0, np.abs(ref).max()))
+
+
+def test_gated_conv_cm_bf16_io_roundtrip():
+    """bf16-in/bf16-out (the fast path's dtypes) stays within bf16 noise."""
+    from deepchopper_tpu.ops.pallas_fft import gated_fft_conv_cm
+
+    rng = np.random.default_rng(7)
+    d_model, batch, seq_len = 4, 2, 512
+    uc32 = rng.standard_normal((3 * d_model, batch, seq_len)).astype(np.float32)
+    k = (
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None]
+    ).astype(np.float32)
+    bias = rng.standard_normal(d_model).astype(np.float32)
+    uc16 = jnp.asarray(uc32, jnp.bfloat16)
+
+    x2, x1, v = uc32[:d_model], uc32[d_model : 2 * d_model], uc32[2 * d_model :]
+    z = fft_causal_conv(
+        jnp.moveaxis(jnp.asarray(v * x1), 0, -1), jnp.asarray(k), jnp.asarray(bias)
+    )
+    ref = np.asarray(jnp.moveaxis(z, -1, 0)) * x2
+
+    got = gated_fft_conv_cm(uc16, jnp.asarray(k), jnp.asarray(bias), interpret=True)
+    assert got.dtype == jnp.bfloat16
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, atol=0.1 * scale)
+
+
+def test_gated_conv_cm_grad_matches_composed_reference():
+    """Custom VJP of the fused op vs autodiff through the composed math."""
+    import jax
+
+    from deepchopper_tpu.ops.pallas_fft import gated_fft_conv_cm
+
+    rng = np.random.default_rng(3)
+    d_model, batch, seq_len = 3, 2, 256
+    uc = jnp.asarray(rng.standard_normal((3 * d_model, batch, seq_len)), jnp.float32)
+    k = jnp.asarray(
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None],
+        jnp.float32,
+    )
+    bias = jnp.asarray(rng.standard_normal(d_model), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((d_model, batch, seq_len)), jnp.float32)
+
+    def loss_ref(uc, k, b):
+        x2, x1, v = uc[:d_model], uc[d_model : 2 * d_model], uc[2 * d_model :]
+        z = fft_causal_conv(jnp.moveaxis(v * x1, 0, -1), k, b)
+        return jnp.sum(jnp.moveaxis(z, -1, 0) * x2 * cot)
+
+    def loss_fused(uc, k, b):
+        return jnp.sum(
+            gated_fft_conv_cm(uc, k, b, interpret=True, precision="float32") * cot
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(uc, k, bias)
+    g_fus = jax.grad(loss_fused, argnums=(0, 1, 2))(uc, k, bias)
+    for a, b_, name in zip(g_ref, g_fus, "uc k bias".split()):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=3e-4 * scale, err_msg=name
+        )
 
 
 def test_pallas_conv_rejects_non_pow2():
