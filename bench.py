@@ -48,6 +48,19 @@ def synth_fastq(path: Path, n_reads: int, seed: int = 0, mean_len: int = 1200) -
             fh.write(b"@bench_read_" + str(i).encode() + b"\n" + seq + b"\n+\n" + qual + b"\n")
 
 
+def current_rss_mb() -> float:
+    """Current (not peak) RSS from /proc — lets the profile attribute memory
+    to warmup/compile vs the streaming run (peak ru_maxrss can't)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
 def main() -> int:
     # 6000 reads keeps the run short while amortizing per-bucket tail batches
     # closer to the 1M-read regime the baseline (docs/faq.md:81) describes.
@@ -63,23 +76,7 @@ def main() -> int:
     cache_dir = enable_compilation_cache()
     print(f"# persistent compile cache: {cache_dir}", file=sys.stderr)
 
-    # Compile-only Pallas smoke: lower + compile the fused FFT-conv kernel for
-    # one representative shape so a Mosaic regression fails here in seconds
-    # instead of 19 minutes into the bucket warmup.
     import jax
-
-    if jax.default_backend() == "tpu":
-        import jax.numpy as jnp
-
-        from deepchopper_tpu.ops.pallas_fft import fft_causal_conv_pallas
-
-        t_smoke = time.monotonic()
-        jax.jit(fft_causal_conv_pallas).lower(
-            jax.ShapeDtypeStruct((8, 1024, 256), jnp.float32),
-            jax.ShapeDtypeStruct((1024, 256), jnp.float32),
-            jax.ShapeDtypeStruct((256,), jnp.float32),
-        ).compile()
-        print(f"# pallas smoke compiled in {time.monotonic() - t_smoke:.1f}s", file=sys.stderr)
 
     with tempfile.TemporaryDirectory() as tmp:
         fq = Path(tmp) / "bench.fq"
@@ -98,10 +95,33 @@ def main() -> int:
         # precompile every bucket shape so the timed region is compile-free.
         setup_s = engine.runtime_setup()
         print(f"# pallas runtime setup in {setup_s:.1f}s", file=sys.stderr)
+
+        # Executed Pallas smoke at a tiny shape: a Mosaic regression in the
+        # gated FFT-conv kernel fails HERE in seconds instead of mid-warmup.
+        # (AOT lower().compile() would NOT catch it — the Mosaic compile
+        # happens at first execution, not at XLA compile time.)
+        if jax.default_backend() == "tpu":
+            import jax.numpy as jnp
+            import numpy as np
+
+            from deepchopper_tpu.ops.pallas_fft import gated_fft_conv_cm
+
+            t_smoke = time.monotonic()
+            y = gated_fft_conv_cm(
+                jnp.ones((3 * 256, 2, 256), jnp.bfloat16),
+                jnp.ones((256, 256), jnp.float32) * 1e-3,
+                jnp.zeros((256,), jnp.float32),
+            )
+            assert np.isfinite(np.asarray(y, np.float32)).all()
+            print(
+                f"# gated pallas smoke ran in {time.monotonic() - t_smoke:.1f}s",
+                file=sys.stderr,
+            )
         compile_s = engine.warmup()
+        rss_after_warmup = current_rss_mb()
         print(
             f"# warmup compiled {len(engine.buckets)} buckets in {compile_s:.1f}s "
-            f"(+{setup_s:.1f}s one-time runtime setup)",
+            f"(+{setup_s:.1f}s one-time runtime setup), RSS {rss_after_warmup:.0f} MB",
             file=sys.stderr,
         )
 
@@ -163,6 +183,9 @@ def main() -> int:
             },
             "output_records": stats.total_output_count,
             "peak_rss_mb": round(stats.peak_rss_bytes / 1e6, 1),
+            # memory attribution: warmup/compile-held vs streaming growth
+            "rss_after_warmup_mb": round(rss_after_warmup, 1),
+            "rss_after_run_mb": round(current_rss_mb(), 1),
         }
         Path(__file__).with_name("BENCH_PROFILE.json").write_text(
             json.dumps(profile, indent=1) + "\n"

@@ -307,9 +307,27 @@ class HyenaOperator(nn.Module):
             jnp.float32,
         )
         b_short = self.param("short_filter_bias", nn.initializers.zeros, (width,), jnp.float32)
-        uc = short_depthwise_conv_cm(proj, k_short, b_short)  # (3d, B, L)
 
         k_long, bias = HyenaFilter(cfg, name="filter_fn")(seq_len)
+
+        import os
+
+        n = 2 * seq_len
+        fuse_short = os.environ.get("DEEPCHOPPER_FUSE_SHORT", "0") == "1"
+        if fuse_short and cfg.conv_impl == "pallas_fft":
+            from ..ops import pallas_fft
+
+            if (
+                pallas_fft.MIN_N <= n <= pallas_fft.MAX_N
+                and n % 512 == 0
+                and jax.default_backend() == "tpu"
+            ):
+                # Fully fused: short conv + gate + long conv + gate in one
+                # Pallas dispatch (proj never re-read from HBM).
+                y = pallas_fft.mixer_fft_conv_cm(proj, k_short, b_short, k_long, bias)
+                return DenseCM(d, name="out_proj", dtype=dtype)(y)
+
+        uc = short_depthwise_conv_cm(proj, k_short, b_short)  # (3d, B, L)
 
         # Fused gate -> long conv -> gate (one Pallas dispatch on TPU).
         y = gated_causal_conv_cm(uc, k_long, bias, cfg.conv_impl)

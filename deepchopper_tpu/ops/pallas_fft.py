@@ -496,7 +496,11 @@ def _gated_conv_cm_impl(
 
     Returns (D, B, L) in uc's dtype. The (B, L) -> (B, h, n1) digit split is
     a free row-major reshape in this layout — no transpose passes at all.
+    DEEPCHOPPER_FFT_LAYOUT=v2 selects the (C, h, B, n1) block layout
+    (single-matmul stages, whole-tile bf16 blocks) instead.
     """
+    if os.environ.get("DEEPCHOPPER_FFT_LAYOUT", "v1") == "v2":
+        return _gated_conv_cm_impl_v2(uc, k, bias, interpret=interpret, precision=precision)
     width, batch, seq_len = uc.shape
     d_model = width // 3
     n = 2 * seq_len
@@ -629,3 +633,386 @@ def gated_fft_conv_cm(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _gated_autodiff(uc, k, bias, interpret, precision or DEFAULT_PRECISION)
+
+
+# ---------------------------------------------------------------------------
+# Full mixer-conv fusion: short depthwise conv + gate + FFT conv + gate.
+#
+# One further HBM round-trip eliminated: the kernel consumes the in_proj
+# output `proj` DIRECTLY (pre-short-conv) and applies the 3-tap depthwise
+# conv in VMEM. A sequence shift in the (j2, j1) digit layout is a lane roll
+# plus a row roll for the lanes that wrap a row boundary:
+#   x[n-s] at (j2, j1):  j1 >= s -> (j2, j1-s);  j1 < s -> (j2-1, n1-s+j1)
+# i.e. roll(lane, s) everywhere, and additionally roll(row, 1) for lanes
+# < s; positions n < s read zero padding. Enabled in the backbone with
+# DEEPCHOPPER_FUSE_SHORT=1 (off by default until measured faster on the
+# target chip).
+# ---------------------------------------------------------------------------
+
+
+def _shifted(x, s: int):
+    """x[n-s] in digit layout (..., rows, lanes); zero for n < s."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, dimension=x.ndim - 2)
+    r = pltpu.roll(x, s, axis=x.ndim - 1)
+    rr = pltpu.roll(r, 1, axis=x.ndim - 2)
+    y = jnp.where(lane < s, rr, r)
+    return jnp.where((row == 0) & (lane < s), jnp.zeros_like(y), y)
+
+
+def _mixer_kernel(
+    p2_ref,
+    p1_ref,
+    pv_ref,
+    ks_ref,
+    bs_ref,
+    kr_ref,
+    ki_ref,
+    c2h_ref,
+    s2h_ref,
+    ctw_ref,
+    stw_ref,
+    c1_ref,
+    s1_ref,
+    ic1_ref,
+    is1_ref,
+    ictw_ref,
+    istw_ref,
+    ic2h_ref,
+    is2h_ref,
+    out_ref,
+    *,
+    precision: str,
+):
+    """Per grouped channel: short conv (3 gates) -> gate -> FFT conv -> gate.
+
+    p*_ref: (cg, B, h, n1) raw in_proj digits for x2/x1/v channels.
+    ks_ref: (3, cg, 3) taps [gate, channel, tap] (tap t multiplies x[n-(2-t)]
+    for taps=3, matching short_depthwise_conv). bs_ref: (3, cg) biases.
+    """
+    n_group = pv_ref.shape[0]
+    taps = ks_ref.shape[2]
+
+    def sconv(ref, gate: int, g: int):
+        x = ref[g].astype(jnp.float32)  # (B, h, n1)
+        out = x * ks_ref[gate, g, taps - 1]
+        for t in range(taps - 1):
+            out = out + _shifted(x, taps - 1 - t) * ks_ref[gate, g, t]
+        return out + bs_ref[gate, g]
+
+    for g in range(n_group):
+        x2 = sconv(p2_ref, 0, g)
+        x1 = sconv(p1_ref, 1, g)
+        v = sconv(pv_ref, 2, g)
+        xh = v * x1
+        b, h, n1 = xh.shape
+
+        rmm, lmm = _mm_helpers(b, precision)
+
+        tr = lmm(c2h_ref[:], xh)
+        ti = lmm(s2h_ref[:], xh)
+        ctw, stw = ctw_ref[:], stw_ref[:]
+        tr, ti = tr * ctw - ti * stw, tr * stw + ti * ctw
+        c1, s1 = c1_ref[:], s1_ref[:]
+        xr = rmm(tr, c1) - rmm(ti, s1)
+        xi = rmm(tr, s1) + rmm(ti, c1)
+        kr, ki = kr_ref[g], ki_ref[g]
+        yr = xr * kr - xi * ki
+        yi = xr * ki + xi * kr
+        ic1, is1 = ic1_ref[:], is1_ref[:]
+        sr = rmm(yr, ic1) - rmm(yi, is1)
+        si = rmm(yr, is1) + rmm(yi, ic1)
+        ictw, istw = ictw_ref[:], istw_ref[:]
+        sr, si = sr * ictw - si * istw, sr * istw + si * ictw
+        y = lmm(ic2h_ref[:], sr) - lmm(is2h_ref[:], si)
+        out_ref[g] = (y * x2).astype(out_ref.dtype)
+
+
+def mixer_reference_xla(proj, k_short, b_short, k_long, bias):
+    """Composed XLA reference of the fused mixer conv (same float32 math).
+
+    proj: (3D, B, L) [x2|x1|v] raw in_proj output; k_short: (taps, 1, 3D);
+    b_short: (3D,); k_long: (L, D); bias: (D,). Returns (D, B, L) in
+    proj's dtype. Also the autodiff body for the fused kernel's VJP.
+    """
+    d_model = k_long.shape[1]
+    seq_len = proj.shape[2]
+    n = 2 * seq_len
+    taps = k_short.shape[0]
+    p32 = proj.astype(jnp.float32)
+    xp = jnp.pad(p32, ((0, 0), (0, 0), (taps - 1, 0)))
+    uc = xp[:, :, 0:seq_len] * k_short[0, 0][:, None, None]
+    for t in range(1, taps):
+        uc = uc + xp[:, :, t : t + seq_len] * k_short[t, 0][:, None, None]
+    uc = uc + b_short[:, None, None]
+    x2, x1, v = uc[:d_model], uc[d_model : 2 * d_model], uc[2 * d_model :]
+    w = v * x1
+    k_f = jnp.fft.rfft(k_long.astype(jnp.float32).T, n=n, axis=-1)  # (D, F)
+    w_f = jnp.fft.rfft(w, n=n, axis=-1)
+    z = (
+        jnp.fft.irfft(w_f * k_f[:, None, :], n=n, axis=-1)[..., :seq_len]
+        + w * bias[:, None, None]
+    )
+    return (z * x2).astype(proj.dtype)
+
+
+def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
+    width, batch, seq_len = proj.shape
+    d_model = width // 3
+    taps = k_short.shape[0]
+    n = 2 * seq_len
+    n1, n2 = _split(n)
+    h = n2 // 2
+
+    cap = int(os.environ.get("DEEPCHOPPER_FFT_BT_CAP", "65536"))
+    bt = max(1, min(batch, cap // n))
+    padded_batch = ((batch + bt - 1) // bt) * bt
+    if padded_batch != batch:
+        proj = jnp.pad(proj, ((0, 0), (0, padded_batch - batch), (0, 0)))
+    nb = padded_batch // bt
+
+    cg = int(os.environ.get("DEEPCHOPPER_FFT_CG", "8"))
+    while d_model % cg:
+        cg //= 2
+    cg = max(cg, 1)
+
+    pd = proj.reshape(width, padded_batch, h, n1)
+    kr, ki = khat_scrambled(k_long, n, bias)
+
+    # Taps regrouped [gate, channel, tap]; biases [gate, channel].
+    ks = jnp.moveaxis(k_short[:, 0, :].astype(jnp.float32), 0, -1).reshape(3, d_model, taps)
+    bs = b_short.astype(jnp.float32).reshape(3, d_model)
+
+    t = _tables(n)
+    tables = [
+        t["c2h"], t["s2h"], t["ctw"], t["stw"], t["c1"], t["s1"],
+        t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
+    ]  # fmt: skip
+
+    blk = (cg, bt, h, n1)
+    p2_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
+    p1_spec = pl.BlockSpec(
+        blk, lambda d, b, _G=d_model // cg: (d + _G, b, 0, 0), memory_space=pltpu.VMEM
+    )
+    pv_spec = pl.BlockSpec(
+        blk, lambda d, b, _G=d_model // cg: (d + 2 * _G, b, 0, 0), memory_space=pltpu.VMEM
+    )
+    ks_spec = pl.BlockSpec((3, cg, taps), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((3, cg), lambda d, b: (0, d), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
+    khat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = [
+        pl.BlockSpec(a.shape, lambda d, b: (0, 0), memory_space=pltpu.VMEM) for a in tables
+    ]
+
+    flops_fft = 2 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
+    itemsize = jnp.dtype(proj.dtype).itemsize
+    out = pl.pallas_call(
+        functools.partial(_mixer_kernel, precision=precision),
+        grid=(d_model // cg, nb),
+        in_specs=[p2_spec, p1_spec, pv_spec, ks_spec, bs_spec, khat_spec, khat_spec, *table_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((d_model, padded_batch, h, n1), proj.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_fft,
+            bytes_accessed=4 * d_model * padded_batch * seq_len * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pd, pd, pd, ks, bs, kr, ki, *[jnp.asarray(a) for a in tables])
+
+    return out.reshape(d_model, padded_batch, seq_len)[:, :batch]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mixer_autodiff(proj, k_short, b_short, k_long, bias, interpret, precision):
+    return _mixer_impl(proj, k_short, b_short, k_long, bias, interpret=interpret, precision=precision)
+
+
+def _mixer_fwd(proj, k_short, b_short, k_long, bias, interpret, precision):
+    y = _mixer_impl(proj, k_short, b_short, k_long, bias, interpret=interpret, precision=precision)
+    return y, (proj, k_short, b_short, k_long, bias)
+
+
+def _mixer_bwd(interpret, precision, res, dy):
+    # Autodiff through the composed XLA reference (recomputes the forward —
+    # cheap relative to keeping gated intermediates alive in HBM).
+    _, vjp = jax.vjp(mixer_reference_xla, *res)
+    return vjp(dy)
+
+
+_mixer_autodiff.defvjp(_mixer_fwd, _mixer_bwd)
+
+
+def mixer_fft_conv_cm(
+    proj: jnp.ndarray,
+    k_short: jnp.ndarray,
+    b_short: jnp.ndarray,
+    k_long: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """Fully fused Hyena mixer conv: short conv + gate + FFT conv + gate.
+
+    See _mixer_kernel / mixer_reference_xla for the contract. Differentiable.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _mixer_autodiff(proj, k_short, b_short, k_long, bias, interpret, precision or DEFAULT_PRECISION)
+
+
+# ---------------------------------------------------------------------------
+# v2 block layout: (channel, h, B, n1) — single-matmul FFT stages.
+#
+# The v1 layout (channel, B, h, n1) forces the j2-contraction to run as B
+# batched (n2, h) @ (h, n1) matmuls per channel (~1000 matmul macros per
+# grid step at bt=32) and gives bf16 blocks h=8 sublanes — half the bf16
+# tile. Putting the h digit AHEAD of the batch makes the j2-contraction ONE
+# leading-axis matmul per channel ((n2, h) @ (h, bt*n1)) and the tiled
+# minor dims (bt, n1) = (32, 128) a whole number of tiles for every dtype.
+# The cost is one XLA transpose pass on the way in and out of the kernel
+# ((C, B, h, n1) <-> (C, h, B, n1)); selected with DEEPCHOPPER_FFT_LAYOUT=v2.
+# ---------------------------------------------------------------------------
+
+
+def _gated_kernel_v2(
+    x2_ref,
+    x1_ref,
+    v_ref,
+    kr_ref,
+    ki_ref,
+    c2h_ref,
+    s2h_ref,
+    ctw_ref,
+    stw_ref,
+    c1_ref,
+    s1_ref,
+    ic1_ref,
+    is1_ref,
+    ictw_ref,
+    istw_ref,
+    ic2h_ref,
+    is2h_ref,
+    out_ref,
+    *,
+    precision: str,
+):
+    """Per grouped channel, blocks (cg, h, B, n1): gate -> FFT conv -> gate."""
+    n_group = v_ref.shape[0]
+
+    def mm(a, b2):
+        return jax.lax.dot_general(
+            a, b2, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    for g in range(n_group):
+        xh = (v_ref[g] * x1_ref[g]).astype(jnp.float32)  # (h, bt, n1)
+        h, bt, n1 = xh.shape
+        n2 = 2 * h
+
+        # Forward stage 1: ONE matmul contracting the leading h digit:
+        # (n2, h) @ (h, bt*n1) -> (n2, bt, n1).
+        xf = xh.reshape(h, bt * n1)
+        tr = mm(c2h_ref[:], xf).reshape(n2, bt, n1)
+        ti = mm(s2h_ref[:], xf).reshape(n2, bt, n1)
+
+        # Twiddle (n2, n1), broadcast over the middle batch dim.
+        ctw = ctw_ref[:][:, None, :]
+        stw = stw_ref[:][:, None, :]
+        tr, ti = tr * ctw - ti * stw, tr * stw + ti * ctw
+
+        # Forward stage 2: contract the lane digit, merged over (n2, bt).
+        def rmm(a, m):
+            return mm(a.reshape(n2 * bt, n1), m).reshape(n2, bt, n1)
+
+        c1, s1 = c1_ref[:], s1_ref[:]
+        xr = rmm(tr, c1) - rmm(ti, s1)
+        xi = rmm(tr, s1) + rmm(ti, c1)
+
+        kr = kr_ref[g][:, None, :]
+        ki = ki_ref[g][:, None, :]
+        yr = xr * kr - xi * ki
+        yi = xr * ki + xi * kr
+
+        ic1, is1 = ic1_ref[:], is1_ref[:]
+        sr = rmm(yr, ic1) - rmm(yi, is1)
+        si = rmm(yr, is1) + rmm(yi, ic1)
+
+        ictw = ictw_ref[:][:, None, :]
+        istw = istw_ref[:][:, None, :]
+        sr, si = sr * ictw - si * istw, sr * istw + si * ictw
+
+        # Inverse stage 2: ONE matmul contracting k2: (h, n2) @ (n2, bt*n1).
+        y = mm(ic2h_ref[:], sr.reshape(n2, bt * n1)) - mm(
+            is2h_ref[:], si.reshape(n2, bt * n1)
+        )
+        y = y.reshape(h, bt, n1)
+        out_ref[g] = (y * x2_ref[g].astype(jnp.float32)).astype(out_ref.dtype)
+
+
+def _gated_conv_cm_impl_v2(uc, k, bias, *, interpret, precision):
+    """v2-layout driver: uc (3D, B, L) -> (D, B, L), same math as v1."""
+    width, batch, seq_len = uc.shape
+    d_model = width // 3
+    n = 2 * seq_len
+    n1, n2 = _split(n)
+    h = n2 // 2
+
+    cap = int(os.environ.get("DEEPCHOPPER_FFT_BT_CAP", "65536"))
+    bt = max(1, min(batch, cap // n))
+    padded_batch = ((batch + bt - 1) // bt) * bt
+    if padded_batch != batch:
+        uc = jnp.pad(uc, ((0, 0), (0, padded_batch - batch), (0, 0)))
+    nb = padded_batch // bt
+
+    cg = int(os.environ.get("DEEPCHOPPER_FFT_CG", "8"))
+    while d_model % cg:
+        cg //= 2
+    cg = max(cg, 1)
+
+    # (3D, h, B, n1): the one transpose pass this layout costs on the way in.
+    ucd = jnp.transpose(uc.reshape(width, padded_batch, h, n1), (0, 2, 1, 3))
+    kr, ki = khat_scrambled(k, n, bias)
+
+    t = _tables(n)
+    tables = [
+        t["c2h"], t["s2h"], t["ctw"], t["stw"], t["c1"], t["s1"],
+        t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
+    ]  # fmt: skip
+
+    blk = (cg, h, bt, n1)
+    x2_spec = pl.BlockSpec(blk, lambda d, b: (d, 0, b, 0), memory_space=pltpu.VMEM)
+    x1_spec = pl.BlockSpec(
+        blk, lambda d, b, _G=d_model // cg: (d + _G, 0, b, 0), memory_space=pltpu.VMEM
+    )
+    v_spec = pl.BlockSpec(
+        blk, lambda d, b, _G=d_model // cg: (d + 2 * _G, 0, b, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(blk, lambda d, b: (d, 0, b, 0), memory_space=pltpu.VMEM)
+    khat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = [
+        pl.BlockSpec(a.shape, lambda d, b: (0, 0), memory_space=pltpu.VMEM) for a in tables
+    ]
+
+    flops_fft = 2 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
+    itemsize = jnp.dtype(uc.dtype).itemsize
+    out = pl.pallas_call(
+        functools.partial(_gated_kernel_v2, precision=precision),
+        grid=(d_model // cg, nb),
+        in_specs=[x2_spec, x1_spec, v_spec, khat_spec, khat_spec, *table_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((d_model, h, padded_batch, n1), uc.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_fft,
+            bytes_accessed=4 * d_model * padded_batch * seq_len * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ucd, ucd, ucd, kr, ki, *[jnp.asarray(a) for a in tables])
+
+    # (D, h, B, n1) -> (D, B, L): the transpose pass on the way out.
+    y = jnp.transpose(out, (0, 2, 1, 3)).reshape(d_model, padded_batch, seq_len)
+    return y[:, :batch]

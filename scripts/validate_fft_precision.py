@@ -1,8 +1,18 @@
 """End-to-end validation that the bf16-precision pallas FFT conv preserves
 chop outputs on a TRAINED model (where logit margins are realistic).
 
-Phases (each in a subprocess — the kernel reads DEEPCHOPPER_FFT_PRECISION at
-trace time, so precisions must not share a jit cache):
+LIMITATION: the trained model here is hyenadna-tiny on a PLANTED 60-base
+homopolymer adapter — a deliberately separable task with large logit
+margins. Real nanopore chimera margins may be narrower, so "labels
+unchanged" on this harness does NOT establish equivalence for production
+checkpoints; rerun the predict/compare phases against a converted real
+checkpoint and representative reads before trusting bf16 output as
+byte-equivalent there. The bf16 default remains justified by the error
+analysis (conv rel err ~5e-3, same order as the bf16 activation stream)
+plus majority-vote smoothing, not by this harness alone.
+
+Phases (each in a subprocess — the kernel reads DEEPCHOPPER_FFT_PRECISION
+once at import, so precisions must not share a process/jit cache):
   1. train   (CPU): fit hyenadna-tiny on a separable planted-adapter set to
               val/f1 >= 0.95, save a native checkpoint.
   2. predict (TPU, x2): load the checkpoint, predict per-base labels and run

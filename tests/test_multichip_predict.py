@@ -87,6 +87,65 @@ def test_sharded_bucket_covers_producer_full_batches(mesh):
         assert engine._bucket_batch_size(w) % 8 == 0
 
 
+@pytest.mark.slow
+def test_flagship_sharded_dispatch_shapes_and_no_allgather(mesh):
+    """Flagship-shaped engine on the 8-device mesh: pins the sharded dispatch
+    contract for the shipping config.
+
+    * The FULL default bucket ladder's row variants must all divide the mesh
+      (asserted without compiling — shapes only).
+    * One real dispatch through the flagship model (hyenadna-small-32k
+      config) at a real bucket width must (a) keep the labels output
+      BATCH-SHARDED across the mesh (no replication of per-read outputs) and
+      (b) contain NO all-gather/all-reduce in the compiled HLO — the predict
+      path never gathers logits (reference contract: per-rank shards merged
+      at chop, deepchopper/models/callbacks.py:25)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.models.registry import DeepChopper
+    from deepchopper_tpu.parallel.mesh import DATA_AXIS
+
+    bundle = DeepChopper.new("hyenadna-small-32k-seqlen", seed=0)
+    # Default ladder + default tokens_per_batch: every compiled variant of
+    # every bucket must shard evenly (shapes-only check, no compile).
+    shipping = PredictEngine(bundle, return_labels=True, mesh=mesh)
+    for w in shipping.buckets:
+        for rows in shipping._row_variants(w):
+            assert rows % 8 == 0, (w, rows)
+
+    # Real dispatch at a small tokens_per_batch (CPU-mesh affordable) but a
+    # real bucket width and the real flagship model.
+    engine = PredictEngine(
+        bundle, max_length=1024, tokens_per_batch=8192, buckets=[1024],
+        return_labels=True, mesh=mesh,
+    )
+    shape = (8, 1024)
+    step = engine._get_step(shape)
+    out = step(
+        engine._params,
+        jnp.zeros(shape, jnp.int8),
+        jnp.zeros(shape, jnp.uint8),
+    )
+    assert out.shape == shape
+    sharding = out.sharding
+    assert isinstance(sharding, NamedSharding)
+    assert sharding.spec and sharding.spec[0] == DATA_AXIS, sharding.spec
+    assert not sharding.is_fully_replicated
+    # Each device holds exactly its 1/8 batch shard.
+    for db in out.addressable_shards:
+        assert db.data.shape == (1, 1024)
+
+    hlo = step.lower(
+        engine._params,
+        jax.ShapeDtypeStruct(shape, jnp.int8),
+        jax.ShapeDtypeStruct(shape, jnp.uint8),
+    ).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute", "all-to-all"):
+        assert coll not in hlo, f"predict path must not {coll}"
+
+
 def test_sharded_predict_non_pow2_bucket_dispatch(tmp_path, mesh):
     """End-to-end sharded dispatch through a non-pow2 bucket width whose
     producer row count does not divide the mesh (regression for the
