@@ -37,9 +37,14 @@ def synth_fastq(path: Path, n_reads: int, seed: int = 0, mean_len: int = 1200) -
 
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    # BENCH_LEGACY_DIST=1 reproduces the round-3 distribution (clip at 8 kb,
+    # no long tail) for apples-to-apples throughput comparison across rounds.
+    legacy = os.environ.get("BENCH_LEGACY_DIST") == "1"
     with open(path, "wb") as fh:
         for i in range(n_reads):
-            if rng.random() < 0.04:
+            if legacy:
+                n = int(np.clip(rng.lognormal(np.log(mean_len), 0.45), 200, 8000))
+            elif rng.random() < 0.04:
                 n = int(np.clip(rng.lognormal(np.log(7000), 0.7), 200, 32000))
             else:
                 n = int(np.clip(rng.lognormal(np.log(mean_len), 0.45), 200, 32000))
@@ -62,9 +67,11 @@ def current_rss_mb() -> float:
 
 
 def main() -> int:
-    # 6000 reads keeps the run short while amortizing per-bucket tail batches
-    # closer to the 1M-read regime the baseline (docs/faq.md:81) describes.
-    n_reads = int(os.environ.get("BENCH_READS", "6000"))
+    # 12000 reads keeps the run short while amortizing per-bucket tail
+    # batches closer to the 1M-read regime the baseline (docs/faq.md:81)
+    # describes — at 6000 the 17-bucket ladder's tail batches were ~20% of
+    # dispatched tokens, a regime no production run sits in.
+    n_reads = int(os.environ.get("BENCH_READS", "12000"))
     tokens_per_batch = int(os.environ.get("BENCH_TOKENS", str(1 << 18)))
 
     from deepchopper_tpu.chop import ChopOptions

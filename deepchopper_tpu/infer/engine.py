@@ -60,6 +60,36 @@ class PredictStats:
         return self.tokens / run
 
 
+def _prefetch_iter(it: Iterator, depth: int) -> Iterator:
+    """Pull `it` on a daemon thread, `depth` items ahead.
+
+    Exceptions from the producer re-raise at the consumer's next pull; the
+    producer blocks when the consumer falls `depth` behind (bounded memory).
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def _run() -> None:
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 - re-raised at consumer
+            q.put(exc)
+
+    threading.Thread(target=_run, name="batch-prefetch", daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class PredictEngine:
     def __init__(
         self,
@@ -348,18 +378,23 @@ class PredictEngine:
     # -- prediction -------------------------------------------------------
 
     def predict_batches(
-        self, batches: Iterator[Batch], depth: int = 4
+        self, batches: Iterator[Batch], depth: int = 4, prefetch: int = 3
     ) -> Iterator[tuple[Batch, np.ndarray]]:
         """Yield (batch, outputs) with a `depth`-deep async pipeline.
 
         Dispatches run ahead of result collection so per-call dispatch/transfer
-        latency (large on tunneled chips) overlaps across in-flight batches.
-        Outputs are (B, W, 2) float32 logits, or (B, W) int8 labels when
-        `return_labels`. Partial batches are padded up to the bucket's target
-        batch size on the batch axis; outputs are sliced back before yielding.
+        latency (large on tunneled chips) overlaps across in-flight batches,
+        and the INPUT iterator (host encode — C++, GIL-releasing) is pulled on
+        a background thread `prefetch` batches ahead so encode overlaps device
+        compute instead of serializing with result waits (measured ~27% of
+        fused wall time otherwise). Outputs are (B, W, 2) float32 logits, or
+        (B, W) int8 labels when `return_labels`. Partial batches decompose
+        into compiled row variants (see _plan_dispatches).
         """
         from collections import deque
 
+        if prefetch:
+            batches = _prefetch_iter(batches, prefetch)
         t_start = time.monotonic()
         pending: deque = deque()
         for batch in batches:
@@ -368,51 +403,86 @@ class PredictEngine:
             if batch.quals_raw is None:
                 raise ValueError("engine requires batches with quals_raw (see pad_batch)")
             quals8 = batch.quals_raw
-            # One dispatch per batch, padded to the smallest compiled row
-            # variant that fits. (Decomposing tails into multiple smaller
-            # dispatches was measured SLOWER end-to-end: ~30ms per-dispatch
-            # overhead on the tunneled chip outweighs the padding saved.)
-            target_b = next((v for v in self._row_variants(w) if v >= b), None)
-            if target_b is None:
-                # Oversized batch from a foreign producer: pad its own row
-                # count up to a mesh multiple (one extra compile, no crash).
-                size = self.mesh.devices.size if self.mesh is not None else 1
-                target_b = ((b + size - 1) // size) * size
-            if b < target_b:
-                ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
-                ids_in[:b] = ids8
-                quals_in = np.zeros((target_b, w), np.uint8)
-                quals_in[:b] = quals8
-            else:
-                ids_in, quals_in = ids8, quals8
-            step = self._get_step(ids_in.shape)
-            out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
-            try:
-                out_dev.copy_to_host_async()  # overlap D2H with later dispatches
-            except Exception:  # pragma: no cover - runtime-dependent
-                pass
-            pending.append((batch, out_dev, ids_in.shape))
-            self.stats.shape_counts[ids_in.shape] = self.stats.shape_counts.get(ids_in.shape, 0) + 1
+            parts = []  # (row_start, rows_valid, out_dev, padded_shape)
+            for start, rows, target_b in self._plan_dispatches(b, w):
+                if rows < target_b:
+                    ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
+                    ids_in[:rows] = ids8[start : start + rows]
+                    quals_in = np.zeros((target_b, w), np.uint8)
+                    quals_in[:rows] = quals8[start : start + rows]
+                else:
+                    ids_in = ids8[start : start + rows]
+                    quals_in = quals8[start : start + rows]
+                step = self._get_step((target_b, w))
+                out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
+                try:
+                    out_dev.copy_to_host_async()  # overlap D2H with later dispatches
+                except Exception:  # pragma: no cover - runtime-dependent
+                    pass
+                parts.append((start, rows, out_dev, (target_b, w)))
+                shape = (target_b, w)
+                self.stats.shape_counts[shape] = self.stats.shape_counts.get(shape, 0) + 1
+                self.stats.padded_tokens += target_b * w
+            pending.append((batch, parts))
             self.stats.batches += 1
             self.stats.reads += b
             self.stats.tokens += int(batch.lengths.sum())
-            self.stats.padded_tokens += ids_in.shape[0] * ids_in.shape[1]
             if len(pending) > depth:
                 yield self._unpack(*pending.popleft())
         while pending:
             yield self._unpack(*pending.popleft())
         self.stats.elapsed_s += time.monotonic() - t_start
 
-    def _unpack(self, batch: Batch, out_dev, padded_shape) -> tuple[Batch, np.ndarray]:
-        """Slice the device output back to this batch's rows."""
-        pb_b, w = padded_shape
-        b = batch.input_ids.shape[0]
-        if self.mesh is not None:
-            return batch, np.asarray(out_dev)[:b]
-        flat = np.asarray(out_dev)
+    def _plan_dispatches(self, b: int, w: int) -> list[tuple[int, int, int]]:
+        """Split a b-row batch into dispatches of compiled row variants.
+
+        Returns (row_start, rows_valid, compiled_rows) triples. Full batches
+        are one dispatch. Tail batches decompose GREEDILY into the largest
+        compiled variants that fit, with only the final remainder padding up
+        to the smallest variant — tail row-padding waste drops from
+        (variant - b) to at most (smallest_variant - 1) rows at a cost of
+        ~1-2 ms dispatch overhead per extra part (measured on the tunneled
+        chip; round 2 reverted an earlier version of this when the dispatch
+        floor was ~30 ms). Compiles nothing new: only warmup's shapes run.
+        """
+        variants = self._row_variants(w)
+        target_b = next((v for v in variants if v >= b), None)
+        if target_b is None:
+            # Oversized batch from a foreign producer: pad its own row
+            # count up to a mesh multiple (one extra compile, no crash).
+            size = self.mesh.devices.size if self.mesh is not None else 1
+            return [(0, b, ((b + size - 1) // size) * size)]
+        if target_b == b:
+            return [(0, b, b)]
+        plan: list[tuple[int, int, int]] = []
+        start = 0
+        rem = b
+        for v in sorted(variants, reverse=True):
+            while rem >= v:
+                plan.append((start, v, v))
+                start += v
+                rem -= v
+        if rem:
+            plan.append((start, rem, variants[0]))
+        return plan
+
+    def _unpack(self, batch: Batch, parts) -> tuple[Batch, np.ndarray]:
+        """Reassemble per-dispatch outputs into this batch's rows."""
+        b, w = batch.input_ids.shape
         if self.return_labels:
-            return batch, flat[: pb_b * w].reshape(pb_b, w)[:b]
-        return batch, flat[: pb_b * w * 2].reshape(pb_b, w, 2)[:b]
+            out = np.empty((b, w), np.int8)
+        else:
+            out = np.empty((b, w, 2), np.float32)
+        for start, rows, out_dev, (pb_b, _w) in parts:
+            if self.mesh is not None:
+                out[start : start + rows] = np.asarray(out_dev)[:rows]
+                continue
+            flat = np.asarray(out_dev)
+            if self.return_labels:
+                out[start : start + rows] = flat[: pb_b * w].reshape(pb_b, w)[:rows]
+            else:
+                out[start : start + rows] = flat[: pb_b * w * 2].reshape(pb_b, w, 2)[:rows]
+        return batch, out
 
     def predict_file(
         self,

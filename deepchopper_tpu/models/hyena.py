@@ -313,7 +313,10 @@ class HyenaOperator(nn.Module):
         import os
 
         n = 2 * seq_len
-        fuse_short = os.environ.get("DEEPCHOPPER_FUSE_SHORT", "0") == "1"
+        # Default ON: measured 52.3 -> 44.6 ms/step at (256, 1024) on v5e —
+        # the XLA short-conv pass (read+write of the 3d-wide bf16 stream)
+        # disappears; the in-kernel digit-space rolls are ~free by comparison.
+        fuse_short = os.environ.get("DEEPCHOPPER_FUSE_SHORT", "1") == "1"
         if fuse_short and cfg.conv_impl == "pallas_fft":
             from ..ops import pallas_fft
 

@@ -500,7 +500,15 @@ def _gated_conv_cm_impl(
     (single-matmul stages, whole-tile bf16 blocks) instead.
     """
     if os.environ.get("DEEPCHOPPER_FFT_LAYOUT", "v1") == "v2":
-        return _gated_conv_cm_impl_v2(uc, k, bias, interpret=interpret, precision=precision)
+        # v2 blocks tile (bt, n1): bt < 8 (large widths at the default cap)
+        # violates the sublane rule — stay on v1 there. Measured on v5e the
+        # v2 transpose passes outweigh its matmul savings (7.9 vs 5.9 ms at
+        # (256, 1024)), so v2 remains an experiment knob, not the default.
+        cap = int(os.environ.get("DEEPCHOPPER_FFT_BT_CAP", "65536"))
+        if min(uc.shape[1], cap // (2 * uc.shape[2])) >= 8:
+            return _gated_conv_cm_impl_v2(
+                uc, k, bias, interpret=interpret, precision=precision
+            )
     width, batch, seq_len = uc.shape
     d_model = width // 3
     n = 2 * seq_len
@@ -698,7 +706,7 @@ def _mixer_kernel(
         out = x * ks_ref[gate, g, taps - 1]
         for t in range(taps - 1):
             out = out + _shifted(x, taps - 1 - t) * ks_ref[gate, g, t]
-        return out + bs_ref[gate, g]
+        return out + bs_ref[gate, g, 0]
 
     for g in range(n_group):
         x2 = sconv(p2_ref, 0, g)
@@ -764,14 +772,20 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
     n1, n2 = _split(n)
     h = n2 // 2
 
-    cap = int(os.environ.get("DEEPCHOPPER_FFT_BT_CAP", "65536"))
+    # Tighter defaults than the gated kernel: the unrolled channel loop
+    # holds the shift temporaries of every iteration live (Mosaic does not
+    # reuse them), so cg*bt must stay smaller — bt cap 65536 with cg=8
+    # blew the 16MB scoped-vmem limit at n1=64 widths (bt=42, h=12).
+    cap = int(os.environ.get("DEEPCHOPPER_MIXER_BT_CAP", "32768"))
     bt = max(1, min(batch, cap // n))
     padded_batch = ((batch + bt - 1) // bt) * bt
     if padded_batch != batch:
         proj = jnp.pad(proj, ((0, 0), (0, padded_batch - batch), (0, 0)))
     nb = padded_batch // bt
 
-    cg = int(os.environ.get("DEEPCHOPPER_FFT_CG", "8"))
+    # cg stays 8: the tap-table blocks (3, cg, taps) need cg divisible by 8
+    # (sublane rule); VMEM pressure is controlled via the bt cap instead.
+    cg = int(os.environ.get("DEEPCHOPPER_MIXER_CG", "8"))
     while d_model % cg:
         cg //= 2
     cg = max(cg, 1)
@@ -781,7 +795,7 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
 
     # Taps regrouped [gate, channel, tap]; biases [gate, channel].
     ks = jnp.moveaxis(k_short[:, 0, :].astype(jnp.float32), 0, -1).reshape(3, d_model, taps)
-    bs = b_short.astype(jnp.float32).reshape(3, d_model)
+    bs = b_short.astype(jnp.float32).reshape(3, d_model, 1)
 
     t = _tables(n)
     tables = [
@@ -798,7 +812,7 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
         blk, lambda d, b, _G=d_model // cg: (d + 2 * _G, b, 0, 0), memory_space=pltpu.VMEM
     )
     ks_spec = pl.BlockSpec((3, cg, taps), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
-    bs_spec = pl.BlockSpec((3, cg), lambda d, b: (0, d), memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((3, cg, 1), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
     khat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
     table_spec = [

@@ -224,3 +224,30 @@ class TestUiCore:
         assert rid == "x y" and seq == "ACGT" and qual == "IIII"
         with pytest.raises(ValueError):
             parse_fq_record("not a record")
+
+
+def test_plan_dispatches_greedy_decomposition():
+    """Tail batches decompose into compiled row variants (largest-fit) so row
+    padding is bounded by the smallest variant, with zero extra compiles."""
+    from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.models.registry import DeepChopper
+
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+    engine = PredictEngine(bundle, max_length=1024, tokens_per_batch=1 << 18)
+    w = 1024
+    variants = engine._row_variants(w)  # {t, t/4, t/16} = [16, 64, 256]
+    assert variants == [16, 64, 256]
+
+    # full batch: one dispatch, no padding
+    assert engine._plan_dispatches(256, w) == [(0, 256, 256)]
+    # small tail: single smallest-variant dispatch
+    assert engine._plan_dispatches(5, w) == [(0, 5, 16)]
+    # 100 rows -> 64 + 16 + 16 + (4 padded to 16): 112 dispatched vs 256 padded
+    assert engine._plan_dispatches(100, w) == [
+        (0, 64, 64), (64, 16, 16), (80, 16, 16), (96, 4, 16),
+    ]
+    plans = engine._plan_dispatches(100, w)
+    assert sum(p[2] for p in plans) == 112
+    # coverage is exact and contiguous
+    covered = [(s, s + r) for s, r, _ in plans]
+    assert covered == [(0, 64), (64, 80), (80, 96), (96, 100)]
