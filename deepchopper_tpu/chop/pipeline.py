@@ -49,6 +49,10 @@ class ChopOptions:
     output_prefix: str | None = None
     min_read_len: int = default.MIN_READ_LEN
     id_annotation: bool = True
+    # BGZF deflate level (6 = the reference writers' default). Output bytes
+    # decompress identically at any level; lower is faster on CPU-starved
+    # hosts at slightly larger files.
+    compression_level: int = 6
 
 
 @dataclass
@@ -242,7 +246,9 @@ def multihost_stream_chop(
     fq_count = 0
     output_count = 0
     try:
-        with open_bgzf_writer(part_path, threads=opts.threads, write_eof=False) as writer:
+        with open_bgzf_writer(
+            part_path, threads=opts.threads, level=opts.compression_level, write_eof=False
+        ) as writer:
             for chunk in iter_fastq_chunks(fq_path, opts.chunk_size):
                 fq_count += len(chunk)
                 results = process_chunk(chunk, all_predicts, opts)
@@ -340,7 +346,9 @@ def stream_chop_with_predicts(
     temp_output = out_dir / f".deepchopper_temp_{os.getpid()}.fq.gz"
 
     try:
-        with open_bgzf_writer(temp_output, threads=opts.threads) as writer:
+        with open_bgzf_writer(
+            temp_output, threads=opts.threads, level=opts.compression_level
+        ) as writer:
             for chunk in iter_fastq_chunks(fq_path, opts.chunk_size):
                 stats.total_fq_count += len(chunk)
                 results = process_chunk(chunk, all_predicts, opts)

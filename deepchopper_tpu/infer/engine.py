@@ -23,6 +23,7 @@ import logging
 import time
 from collections.abc import Iterator
 from pathlib import Path
+from typing import Any
 
 import numpy as np
 
@@ -378,8 +379,12 @@ class PredictEngine:
     # -- prediction -------------------------------------------------------
 
     def predict_batches(
-        self, batches: Iterator[Batch], depth: int = 4, prefetch: int = 3
-    ) -> Iterator[tuple[Batch, np.ndarray]]:
+        self,
+        batches: Iterator[Batch],
+        depth: int = 4,
+        prefetch: int = 3,
+        materialize: bool = True,
+    ) -> Iterator[tuple[Batch, Any]]:
         """Yield (batch, outputs) with a `depth`-deep async pipeline.
 
         Dispatches run ahead of result collection so per-call dispatch/transfer
@@ -390,47 +395,61 @@ class PredictEngine:
         fused wall time otherwise). Outputs are (B, W, 2) float32 logits, or
         (B, W) int8 labels when `return_labels`. Partial batches decompose
         into compiled row variants (see _plan_dispatches).
-        """
-        from collections import deque
 
+        `materialize=False` yields (batch, parts) with the device results
+        still in flight; the consumer calls `unpack(batch, parts)` (from any
+        thread) to fetch+assemble. The consumer-side queue must be bounded:
+        each un-unpacked batch holds device output buffers.
+
+        Threading: encode runs `prefetch` ahead on one daemon thread; the
+        dispatch work (row padding, H2D transfer, step call — each a
+        latency-bound tunnel round trip) runs `depth` ahead on a second; the
+        caller's thread only collects results. Without the dispatch stage the
+        H2D latency serialized with result waits (~15 ms/batch of the fused
+        wall).
+        """
         if prefetch:
             batches = _prefetch_iter(batches, prefetch)
         t_start = time.monotonic()
-        pending: deque = deque()
-        for batch in batches:
-            b, w = batch.input_ids.shape
-            ids8 = batch.input_ids.astype(np.int8, copy=False)  # vocab ids are < 128
-            if batch.quals_raw is None:
-                raise ValueError("engine requires batches with quals_raw (see pad_batch)")
-            quals8 = batch.quals_raw
-            parts = []  # (row_start, rows_valid, out_dev, padded_shape)
-            for start, rows, target_b in self._plan_dispatches(b, w):
-                if rows < target_b:
-                    ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
-                    ids_in[:rows] = ids8[start : start + rows]
-                    quals_in = np.zeros((target_b, w), np.uint8)
-                    quals_in[:rows] = quals8[start : start + rows]
-                else:
-                    ids_in = ids8[start : start + rows]
-                    quals_in = quals8[start : start + rows]
-                step = self._get_step((target_b, w))
-                out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
-                try:
-                    out_dev.copy_to_host_async()  # overlap D2H with later dispatches
-                except Exception:  # pragma: no cover - runtime-dependent
-                    pass
-                parts.append((start, rows, out_dev, (target_b, w)))
-                shape = (target_b, w)
-                self.stats.shape_counts[shape] = self.stats.shape_counts.get(shape, 0) + 1
-                self.stats.padded_tokens += target_b * w
-            pending.append((batch, parts))
-            self.stats.batches += 1
-            self.stats.reads += b
-            self.stats.tokens += int(batch.lengths.sum())
-            if len(pending) > depth:
-                yield self._unpack(*pending.popleft())
-        while pending:
-            yield self._unpack(*pending.popleft())
+
+        def _dispatched() -> Iterator[tuple[Batch, list]]:
+            for batch in batches:
+                b, w = batch.input_ids.shape
+                ids8 = batch.input_ids.astype(np.int8, copy=False)  # vocab ids < 128
+                if batch.quals_raw is None:
+                    raise ValueError("engine requires batches with quals_raw (see pad_batch)")
+                quals8 = batch.quals_raw
+                parts = []  # (row_start, rows_valid, out_dev, padded_shape)
+                for start, rows, target_b in self._plan_dispatches(b, w):
+                    if rows < target_b:
+                        ids_in = np.full((target_b, w), default.TOKEN_PAD, np.int8)
+                        ids_in[:rows] = ids8[start : start + rows]
+                        quals_in = np.zeros((target_b, w), np.uint8)
+                        quals_in[:rows] = quals8[start : start + rows]
+                    else:
+                        ids_in = ids8[start : start + rows]
+                        quals_in = quals8[start : start + rows]
+                    step = self._get_step((target_b, w))
+                    out_dev = step(self._params, jnp.asarray(ids_in), jnp.asarray(quals_in))
+                    try:
+                        out_dev.copy_to_host_async()  # overlap D2H with later dispatches
+                    except Exception:  # pragma: no cover - runtime-dependent
+                        pass
+                    parts.append((start, rows, out_dev, (target_b, w)))
+                    shape = (target_b, w)
+                    self.stats.shape_counts[shape] = self.stats.shape_counts.get(shape, 0) + 1
+                    self.stats.padded_tokens += target_b * w
+                self.stats.batches += 1
+                self.stats.reads += b
+                self.stats.tokens += int(batch.lengths.sum())
+                yield batch, parts
+
+        dispatched = _prefetch_iter(_dispatched(), depth) if prefetch else _dispatched()
+        for batch, parts in dispatched:
+            if materialize:
+                yield self._unpack(batch, parts)
+            else:
+                yield batch, parts
         self.stats.elapsed_s += time.monotonic() - t_start
 
     def _plan_dispatches(self, b: int, w: int) -> list[tuple[int, int, int]]:
@@ -465,6 +484,10 @@ class PredictEngine:
         if rem:
             plan.append((start, rem, variants[0]))
         return plan
+
+    def unpack(self, batch: Batch, parts) -> np.ndarray:
+        """Fetch+assemble a lazily-yielded batch's outputs (thread-safe)."""
+        return self._unpack(batch, parts)[1]
 
     def _unpack(self, batch: Batch, parts) -> tuple[Batch, np.ndarray]:
         """Reassemble per-dispatch outputs into this batch's rows."""

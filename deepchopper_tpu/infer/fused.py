@@ -44,7 +44,7 @@ log = logging.getLogger(__name__)
 class FusedStats(ChopStats):
     """ChopStats plus a host/device stage breakdown (wall seconds)."""
 
-    encode_s: float = 0.0  # feed thread: read+index+encode+dispatch
+    encode_s: float = 0.0  # residual: wall minus feed result-wait (feed-side work)
     device_s: float = 0.0  # feed thread blocked on device results (D2H fetch)
     smooth_s: float = 0.0  # worker: majority vote + region extraction (overlaps device)
     chop_write_s: float = 0.0  # worker: record split + BGZF write (overlaps device)
@@ -193,7 +193,11 @@ def fused_predict_chop(
 
         Runs on the worker thread: the C++ vote/label-region kernels and the
         BGZF writer release the GIL, so this overlaps the feed thread's
-        encode+dispatch work and the device never starves on chop IO.
+        dispatch+fetch work and the device never starves on chop IO.
+        (Fetching on the worker instead was measured slower: it serializes
+        result-wait with vote+chop on one thread, making the worker the
+        critical path — the feed thread is the right place to block on D2H
+        while the worker overlaps host compute.)
         """
         t0 = time.monotonic()
         pred_lens = (batch.lengths.astype(np.int64) - 1).clip(min=0)
@@ -232,12 +236,14 @@ def fused_predict_chop(
                 worker_err.append(exc)
                 return
 
-    t_last = time.monotonic()
     try:
-        with open_bgzf_writer(temp_output, threads=opts.threads) as writer:
+        with open_bgzf_writer(
+            temp_output, threads=opts.threads, level=opts.compression_level
+        ) as writer:
             worker = threading.Thread(target=_worker, name="fused-chop", daemon=True)
             worker.start()
             try:
+                t_last = time.monotonic()
                 for batch, labels in engine.predict_batches(source.batches()):
                     t0 = time.monotonic()
                     stats.device_s += t0 - t_last  # approx: time blocked in iterator

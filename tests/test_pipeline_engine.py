@@ -251,3 +251,25 @@ def test_plan_dispatches_greedy_decomposition():
     # coverage is exact and contiguous
     covered = [(s, s + r) for s, r, _ in plans]
     assert covered == [(0, 64), (64, 80), (80, 96), (96, 100)]
+
+
+def test_prefetch_iter_propagates_producer_errors():
+    """The background encode thread's exceptions must surface at the
+    consumer, not vanish into a dead daemon thread."""
+    from deepchopper_tpu.infer.engine import _prefetch_iter
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("encode failed")
+
+    it = _prefetch_iter(boom(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="encode failed"):
+        next(it)
+
+    # clean termination without error
+    assert list(_prefetch_iter(iter([3, 4]), depth=1)) == [3, 4]
