@@ -92,6 +92,27 @@ def selective_scan(
     return y + u * D[None, None, :]
 
 
+def dispatch_selective_scan(u, delta, A, Bp, Cp, D, cfg) -> jnp.ndarray:
+    """Pick the scan implementation.
+
+    On TPU the VMEM-resident Pallas kernel (ops/pallas_scan.py) runs the
+    recurrence in one HBM pass — measured ~20x the associative-scan
+    formulation, which materializes (B, L, D_in, N) affine maps and is
+    HBM-bound (docs/performance.md). Off-TPU (and under
+    DEEPCHOPPER_SCAN_IMPL=xla) the chunked associative scan runs instead.
+    """
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("DEEPCHOPPER_SCAN_IMPL", "pallas") == "pallas"
+    ):
+        from ..ops.pallas_scan import selective_scan_pallas
+
+        return selective_scan_pallas(u, delta, A, Bp, Cp, D)
+    return selective_scan(u, delta, A, Bp, Cp, D, chunk=cfg.scan_chunk)
+
+
 class MambaMixer(nn.Module):
     """One Mamba selective-SSM mixer (d_model -> d_model)."""
 
@@ -132,7 +153,7 @@ class MambaMixer(nn.Module):
         A = -jnp.exp(a_log)
         D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
-        y = selective_scan(xs, delta, A, Bp, Cp, D, chunk=cfg.scan_chunk)
+        y = dispatch_selective_scan(xs, delta, A, Bp, Cp, D, cfg)
         y = y * jax.nn.silu(z)
         return nn.Dense(cfg.d_model, use_bias=False, name="out_proj", dtype=dtype)(
             y.astype(dtype)
