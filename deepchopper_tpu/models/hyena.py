@@ -323,6 +323,7 @@ class HyenaOperator(nn.Module):
             if (
                 pallas_fft.MIN_N <= n <= pallas_fft.MAX_N
                 and n % 512 == 0
+                and d % 8 == 0  # tap-table blocks need cg divisible by 8
                 and jax.default_backend() == "tpu"
             ):
                 # Fully fused: short conv + gate + long conv + gate in one
