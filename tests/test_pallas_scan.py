@@ -69,3 +69,19 @@ def test_scan_kernel_grad_matches_reference():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=3e-4 * scale, err_msg=name
         )
+
+
+def test_dispatch_selects_xla_off_tpu():
+    """Off-TPU the mixer must use the chunked associative scan (the Pallas
+    kernel's interpret mode is test-only — too slow for CPU inference)."""
+    from deepchopper_tpu.models import caduceus as cad
+
+    assert jax.default_backend() != "tpu"  # CPU test environment
+    args = _inputs(1, 64, 4, 4, seed=9)
+
+    class Cfg:
+        scan_chunk = 32
+
+    out = cad.dispatch_selective_scan(*args, Cfg())
+    ref = cad.selective_scan(*args, chunk=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
