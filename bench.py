@@ -104,24 +104,27 @@ def main() -> int:
         print(f"# pallas runtime setup in {setup_s:.1f}s", file=sys.stderr)
 
         # Executed Pallas smoke at a tiny shape: a Mosaic regression in the
-        # gated FFT-conv kernel fails HERE in seconds instead of mid-warmup.
-        # (AOT lower().compile() would NOT catch it — the Mosaic compile
-        # happens at first execution, not at XLA compile time.)
+        # fused mixer kernel (the model's actual conv path) fails HERE in
+        # seconds instead of mid-warmup. (AOT lower().compile() would NOT
+        # catch it — the Mosaic compile happens at first execution, not at
+        # XLA compile time.)
         if jax.default_backend() == "tpu":
             import jax.numpy as jnp
             import numpy as np
 
-            from deepchopper_tpu.ops.pallas_fft import gated_fft_conv_cm
+            from deepchopper_tpu.ops.pallas_fft import mixer_fft_conv_cm
 
             t_smoke = time.monotonic()
-            y = gated_fft_conv_cm(
+            y = mixer_fft_conv_cm(
                 jnp.ones((3 * 256, 2, 256), jnp.bfloat16),
+                jnp.ones((3, 1, 3 * 256), jnp.float32) * 0.1,
+                jnp.zeros((3 * 256,), jnp.float32),
                 jnp.ones((256, 256), jnp.float32) * 1e-3,
                 jnp.zeros((256,), jnp.float32),
             )
             assert np.isfinite(np.asarray(y, np.float32)).all()
             print(
-                f"# gated pallas smoke ran in {time.monotonic() - t_smoke:.1f}s",
+                f"# mixer pallas smoke ran in {time.monotonic() - t_smoke:.1f}s",
                 file=sys.stderr,
             )
         compile_s = engine.warmup()
