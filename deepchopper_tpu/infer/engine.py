@@ -66,29 +66,51 @@ def _prefetch_iter(it: Iterator, depth: int) -> Iterator:
 
     Exceptions from the producer re-raise at the consumer's next pull; the
     producer blocks when the consumer falls `depth` behind (bounded memory).
+    If the consumer abandons the generator early (break / exception /
+    GeneratorExit), a stop flag unblocks the producer so it doesn't keep
+    pulling the source — for the dispatch stage that would pin in-flight
+    device buffers for the life of the process.
     """
     import queue
     import threading
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _run() -> None:
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as exc:  # noqa: BLE001 - re-raised at consumer
-            q.put(exc)
+            _put(exc)
+        finally:
+            close = getattr(it, "close", None)
+            if stop.is_set() and close is not None:
+                close()
 
     threading.Thread(target=_run, name="batch-prefetch", daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class PredictEngine:
@@ -314,6 +336,7 @@ class PredictEngine:
         t0 = time.monotonic()
         self.runtime_setup()
         t_compile = time.monotonic()
+        compile_s_before = self.stats.compile_s
         workers = max_workers or min(16, max(1, len(shapes)), os.cpu_count() or 8)
         if workers > 1 and len(shapes) > 1:
             with ThreadPoolExecutor(workers) as ex:
@@ -323,12 +346,13 @@ class PredictEngine:
                 self._get_step(s)
         wall = time.monotonic() - t_compile
         if shapes and wall > 0:
+            compiled_s = self.stats.compile_s - compile_s_before
             log.info(
                 "warmup: %d shapes in %.1fs wall (compile-seconds %.1f, overlap %.1fx)",
                 len(shapes),
                 wall,
-                self.stats.compile_s,
-                self.stats.compile_s / wall,
+                compiled_s,
+                compiled_s / wall,
             )
         if shapes:
             shape = shapes[0]
@@ -444,7 +468,7 @@ class PredictEngine:
                 self.stats.tokens += int(batch.lengths.sum())
                 yield batch, parts
 
-        dispatched = _prefetch_iter(_dispatched(), depth) if prefetch else _dispatched()
+        dispatched = _prefetch_iter(_dispatched(), depth) if depth else _dispatched()
         for batch, parts in dispatched:
             if materialize:
                 yield self._unpack(batch, parts)
@@ -483,6 +507,11 @@ class PredictEngine:
                 rem -= v
         if rem:
             plan.append((start, rem, variants[0]))
+        # A decomposition that saves no padded rows (e.g. variants [16,64],
+        # b=63 -> 4x16 = 64 rows) only adds per-dispatch overhead; keep the
+        # single padded dispatch unless the plan computes strictly fewer rows.
+        if sum(p[2] for p in plan) >= target_b:
+            return [(0, b, target_b)]
         return plan
 
     def unpack(self, batch: Batch, parts) -> np.ndarray:

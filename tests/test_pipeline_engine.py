@@ -251,6 +251,11 @@ def test_plan_dispatches_greedy_decomposition():
     # coverage is exact and contiguous
     covered = [(s, s + r) for s, r, _ in plans]
     assert covered == [(0, 64), (64, 80), (80, 96), (96, 100)]
+    # no-savings decomposition falls back to one padded dispatch:
+    # 63 rows would greedily become 3x16 + (15 padded to 16) = 64 rows —
+    # identical padded tokens to a single 64-row dispatch, 3 extra overheads.
+    assert engine._plan_dispatches(63, w) == [(0, 63, 64)]
+    assert engine._plan_dispatches(64, w) == [(0, 64, 64)]
 
 
 def test_prefetch_iter_propagates_producer_errors():
@@ -273,3 +278,32 @@ def test_prefetch_iter_propagates_producer_errors():
 
     # clean termination without error
     assert list(_prefetch_iter(iter([3, 4]), depth=1)) == [3, 4]
+
+
+def test_prefetch_iter_unblocks_producer_on_abandon():
+    """An abandoned consumer (break / close) must not leave the producer
+    blocked on q.put forever — it would keep pulling the source and pin
+    in-flight device buffers for the life of the process."""
+    import threading
+    import time as _time
+
+    from deepchopper_tpu.infer.engine import _prefetch_iter
+
+    pulled = []
+    done = threading.Event()
+
+    def source():
+        try:
+            for i in range(1000):
+                pulled.append(i)
+                yield i
+        finally:
+            done.set()
+
+    it = _prefetch_iter(source(), depth=1)
+    assert next(it) == 0
+    it.close()  # consumer abandons
+    # the producer must notice the stop flag and close the source
+    assert done.wait(timeout=5.0)
+    _time.sleep(0.05)
+    assert len(pulled) < 1000
