@@ -34,6 +34,12 @@ def _add_predict(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--limit-batches", type=int, default=None, help="Stop after this many device batches")
     p.add_argument("--max-length", type=int, default=32768, help="Token window; longer reads are truncated and flagged")
     p.add_argument("--fused-chop", action="store_true", help="Skip shard IO: predict and chop in one pass")
+    p.add_argument(
+        "--shard-format",
+        choices=["npz", "pt"],
+        default="npz",
+        help="Prediction shard format: npz (native) or pt (reference torch format, readable by deepchopper-chop)",
+    )
     p.add_argument("--fq", type=Path, default=None, help="FASTQ for --fused-chop qualities (defaults to data_path)")
     p.add_argument("--verbose", "-v", action="store_true", help="Restore suppressed third-party warnings and debug logs")
 
@@ -264,6 +270,7 @@ def cmd_predict(args: argparse.Namespace) -> int:
             args.output,
             max_samples=args.max_sample,
             limit_batches=args.limit_batches,
+            shard_format=args.shard_format,
         )
         print(
             f"predicted {stats.reads} reads in {stats.elapsed_s:.1f}s "

@@ -545,16 +545,25 @@ class PredictEngine:
         max_samples: int | None = None,
         limit_batches: int | None = None,
         shard: tuple[int, int] | None = None,
+        shard_format: str = "npz",
     ) -> PredictStats:
-        """Predict a FASTQ and write `.npz` shards with the chop contract.
+        """Predict a FASTQ and write prediction shards with the chop contract.
+
+        `shard_format="npz"` (native) or `"pt"` (reference torch format — the
+        reference's `deepchopper-chop` binary can consume it directly,
+        reference: src/smooth/predict.rs:263-317).
 
         Multi-host DP: `rank` defaults to `jax.process_index()` and `shard`
         defaults to (process_index, process_count), so each host reads its own
-        interleaved slice of the FASTQ and writes `{rank}_{batch}.npz` shards
+        interleaved slice of the FASTQ and writes `{rank}_{batch}` shards
         that the chop stage merges (reference contract:
         deepchopper/models/callbacks.py:25, cli.py:181).
         """
-        from ..io.predicts import write_prediction_shard
+        from ..io.predicts import write_prediction_shard, write_prediction_shard_pt
+
+        if shard_format not in ("npz", "pt"):
+            raise ValueError(f"shard_format must be 'npz' or 'pt', got {shard_format!r}")
+        write_shard = write_prediction_shard_pt if shard_format == "pt" else write_prediction_shard
 
         if rank is None:
             rank = jax.process_index()
@@ -574,8 +583,8 @@ class PredictEngine:
         for i, (batch, outputs) in enumerate(self.predict_batches(batches)):
             if limit_batches is not None and i >= limit_batches:
                 break
-            write_prediction_shard(
-                out / f"{rank}_{i}.npz",
+            write_shard(
+                out / f"{rank}_{i}.{shard_format}",
                 prediction=outputs,
                 target=batch.labels,
                 seq=batch.input_ids,

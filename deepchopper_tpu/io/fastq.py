@@ -72,9 +72,24 @@ def open_compressed_reader(path: str | Path) -> io.BufferedIOBase:
     if kind == "zstd":
         try:
             from compression import zstd  # Python >= 3.14
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError("zstd decompression requires Python >= 3.14") from exc
-        return zstd.open(path, "rb")
+
+            return zstd.open(path, "rb")
+        except ImportError:
+            pass
+        from . import zstd_ctypes
+
+        if zstd_ctypes.available():
+            return zstd_ctypes.open_zstd_reader(path)
+        import shutil
+        import subprocess
+
+        if shutil.which("zstd"):  # pragma: no cover - env-dependent fallback
+            proc = subprocess.Popen(["zstd", "-dc", str(path)], stdout=subprocess.PIPE)
+            assert proc.stdout is not None
+            return proc.stdout
+        raise NotImplementedError(
+            "zstd input needs Python >= 3.14, libzstd, or a zstd binary"
+        )  # pragma: no cover
     return open(path, "rb")
 
 

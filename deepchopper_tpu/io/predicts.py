@@ -215,3 +215,38 @@ def write_prediction_shard(
         id=np.asarray(ids),
     )
     tmp.replace(path)
+
+
+def write_prediction_shard_pt(
+    path: str | Path,
+    prediction: np.ndarray,
+    target: np.ndarray,
+    seq: np.ndarray,
+    qual: np.ndarray,
+    ids: np.ndarray,
+) -> None:
+    """Write one reference-format torch `.pt` shard.
+
+    Emits the exact tensor dict the reference's predict callback saves
+    (reference: deepchopper/models/callbacks.py:12-25) so the reference's
+    `deepchopper-chop` binary (reference: src/smooth/predict.rs:263-317) can
+    consume this framework's predictions — the reverse direction of
+    `load_predicts_from_batch_pt`. Dtypes follow the reference run:
+    float logits, long target/seq/id (Lightning collates int64), qual float.
+    """
+    import torch
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp.pt")
+    torch.save(
+        {
+            "prediction": torch.from_numpy(np.ascontiguousarray(prediction, dtype=np.float32)),
+            "target": torch.from_numpy(np.ascontiguousarray(target, dtype=np.int64)),
+            "seq": torch.from_numpy(np.ascontiguousarray(seq, dtype=np.int64)),
+            "qual": torch.from_numpy(np.ascontiguousarray(qual, dtype=np.float32)),
+            "id": torch.from_numpy(np.ascontiguousarray(ids, dtype=np.int64)),
+        },
+        tmp,
+    )
+    tmp.replace(path)

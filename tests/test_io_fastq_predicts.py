@@ -113,6 +113,53 @@ class TestWritefqReferenceVectors:
             assert a.id == b.id and a.seq == b.seq and a.qual == b.qual
 
 
+class TestZstdInput:
+    """zstd-compressed FASTQ input (reference sniffs zstd magic,
+    src/output/writefq.rs:84-135) via the ctypes libzstd binding."""
+
+    @pytest.fixture
+    def fq_bytes(self):
+        rng = np.random.default_rng(11)
+        out = []
+        for i in range(200):
+            length = int(rng.integers(50, 400))
+            seq = "".join(rng.choice(list("ACGTN"), length))
+            qual = "".join(chr(c) for c in rng.integers(33, 74, length))
+            out.append(f"@z{i} desc\n{seq}\n+\n{qual}\n")
+        return "".join(out).encode()
+
+    def test_zstd_roundtrip_streaming_reader(self, tmp_path, fq_bytes):
+        from deepchopper_tpu.io import zstd_ctypes
+
+        if not zstd_ctypes.available():
+            pytest.skip("libzstd not present")
+        plain = tmp_path / "in.fq"
+        plain.write_bytes(fq_bytes)
+        zpath = tmp_path / "in.fq.zst"
+        zpath.write_bytes(zstd_ctypes.compress(fq_bytes))
+        assert F.detect_compression(zpath) == "zstd"
+        want = list(F.StreamingFastqReader(plain))
+        got = list(F.StreamingFastqReader(zpath))
+        assert len(got) == len(want) == 200
+        for a, b in zip(got, want):
+            assert a.id == b.id and a.seq == b.seq and a.qual == b.qual
+
+    def test_zstd_concatenated_frames(self, tmp_path, fq_bytes):
+        # `zstd` files may hold multiple concatenated frames; the streaming
+        # decoder must cross frame boundaries transparently.
+        from deepchopper_tpu.io import zstd_ctypes
+
+        if not zstd_ctypes.available():
+            pytest.skip("libzstd not present")
+        half = len(fq_bytes) // 2
+        zpath = tmp_path / "two.fq.zst"
+        zpath.write_bytes(
+            zstd_ctypes.compress(fq_bytes[:half]) + zstd_ctypes.compress(fq_bytes[half:])
+        )
+        with F.open_compressed_reader(zpath) as fh:
+            assert fh.read() == fq_bytes
+
+
 class TestPredictShards:
     def test_load_reference_pt(self, reference_data):
         # Oracle: reference test asserts 12 predicts in chunk0/0.pt
@@ -149,6 +196,78 @@ class TestPredictShards:
         for k in from_pt:
             assert from_pt[k].seq == from_npz[k].seq
             np.testing.assert_array_equal(from_pt[k].prediction, from_npz[k].prediction)
+
+    def test_pt_writer_roundtrip(self, reference_data, tmp_path):
+        """The .pt WRITER emits the reference callback's tensor dict
+        (reference: deepchopper/models/callbacks.py:12-25): write a shard in
+        both formats from the same arrays, reload each through its own loader,
+        and require identical decoded Predicts — so the reference's chop
+        binary could consume this framework's predictions."""
+        import torch
+
+        t = torch.load(reference_data / "eval/chunk0/0.pt", map_location="cpu", weights_only=False)
+        arrays = (
+            t["prediction"].numpy(),
+            t["target"].numpy(),
+            t["seq"].numpy(),
+            t["qual"].numpy(),
+            t["id"].numpy(),
+        )
+        P.write_prediction_shard_pt(tmp_path / "0.pt", *arrays)
+        P.write_prediction_shard(tmp_path / "0.npz", *arrays)
+        # tensor dict shape/dtype contract
+        back = torch.load(tmp_path / "0.pt", map_location="cpu", weights_only=False)
+        assert set(back) == {"prediction", "target", "seq", "qual", "id"}
+        assert back["prediction"].dtype == torch.float32
+        assert back["target"].dtype == torch.int64 and back["seq"].dtype == torch.int64
+        assert back["prediction"].shape == t["prediction"].shape
+        from_pt = P.load_predicts_from_batch_pt(tmp_path / "0.pt")
+        from_npz = P.load_predicts_from_batch_npz(tmp_path / "0.npz")
+        ref = P.load_predicts_from_batch_pt(reference_data / "eval/chunk0/0.pt")
+        assert from_pt.keys() == from_npz.keys() == ref.keys()
+        for k in ref:
+            assert from_pt[k].seq == ref[k].seq
+            np.testing.assert_array_equal(from_pt[k].prediction, ref[k].prediction)
+            np.testing.assert_array_equal(from_pt[k].prediction, from_npz[k].prediction)
+
+    def test_predict_file_pt_shards_chop_byte_equal(self, tmp_path):
+        """End-to-end: predict_file(shard_format='pt') shards load through the
+        .pt loader and chop to byte-identical output vs the .npz path."""
+        from deepchopper_tpu.chop import ChopOptions
+        from deepchopper_tpu.chop.pipeline import stream_chop_with_predicts
+        from deepchopper_tpu.infer import PredictEngine
+        from deepchopper_tpu.models.registry import DeepChopper
+
+        rng = np.random.default_rng(3)
+        fq = tmp_path / "in.fq"
+        with open(fq, "wb") as fh:
+            for i in range(8):
+                length = int(rng.integers(80, 200))
+                seq = "".join(rng.choice(list("ACGT"), length))
+                qual = "".join(chr(c) for c in rng.integers(33, 74, length))
+                fh.write(b"@r%d\n%s\n+\n%s\n" % (i, seq.encode(), qual.encode()))
+        bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+        engine = PredictEngine(bundle, max_length=512, tokens_per_batch=1 << 12)
+        engine.predict_file(fq, tmp_path / "pt_shards", shard_format="pt")
+        engine2 = PredictEngine(bundle, max_length=512, tokens_per_batch=1 << 12)
+        engine2.predict_file(fq, tmp_path / "npz_shards", shard_format="npz")
+        assert sorted(p.suffix for p in (tmp_path / "pt_shards/0").iterdir()) == [".pt"] * len(
+            list((tmp_path / "pt_shards/0").iterdir())
+        )
+        from_pt = P.load_predicts_from_batch_pts(tmp_path / "pt_shards")
+        from_npz = P.load_predicts_from_batch_pts(tmp_path / "npz_shards")
+        assert from_pt.keys() == from_npz.keys() and len(from_pt) == 8
+        sa = stream_chop_with_predicts(
+            from_pt, fq, ChopOptions(output_prefix=str(tmp_path / "a"))
+        )
+        sb = stream_chop_with_predicts(
+            from_npz, fq, ChopOptions(output_prefix=str(tmp_path / "b"))
+        )
+        from pathlib import Path
+
+        assert gzip.decompress(Path(sa.output_file).read_bytes()) == gzip.decompress(
+            Path(sb.output_file).read_bytes()
+        )
 
     def test_pack_read_ids_roundtrip(self):
         ids = ["read-abc|1:2", "x" * 300]
