@@ -19,7 +19,14 @@ from .transformer import TransformerBackbone
 
 
 class HyenaTokenClassifier(nn.Module):
-    """HyenaDNA backbone + token-classification head (the flagship model)."""
+    """HyenaDNA backbone + token-classification head (the flagship model).
+
+    The backbone's residual stream is channel-major (D, B, L) internally;
+    by default the head runs channel-major too (TokenClassificationHeadCM —
+    same params, same math), so the backbone->head boundary needs no layout
+    pass and the head's lin1 reads the hidden state in XLA's native layout.
+    `DEEPCHOPPER_CM_HEAD=0` restores the (B, L, D) head for A/B.
+    """
 
     backbone_config: HyenaConfig
     head_config: HeadConfig
@@ -27,6 +34,18 @@ class HyenaTokenClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, input_quals: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        from .head import TokenClassificationHeadCM
+
+        if os.environ.get("DEEPCHOPPER_CM_HEAD", "1") == "1":
+            hidden_cm = HyenaBackbone(self.backbone_config, name="backbone")(
+                input_ids, channel_major_out=True
+            )
+            logits_cm = TokenClassificationHeadCM(self.head_config, name="head")(
+                hidden_cm, input_quals
+            )
+            return jnp.transpose(logits_cm, (1, 2, 0))  # (B, L, num_class)
         hidden = HyenaBackbone(self.backbone_config, name="backbone")(input_ids)
         return TokenClassificationHead(self.head_config, name="head")(hidden, input_quals)
 

@@ -327,8 +327,18 @@ class HyenaOperator(nn.Module):
                 and jax.default_backend() == "tpu"
             ):
                 # Fully fused: short conv + gate + long conv + gate in one
-                # Pallas dispatch (proj never re-read from HBM).
-                y = pallas_fft.mixer_fft_conv_cm(proj, k_short, b_short, k_long, bias)
+                # Pallas dispatch (proj never re-read from HBM). Default is
+                # the batch-major kernel entry: XLA lays the in_proj output
+                # out batch-major ({2,0,1}) anyway, so the transposes below
+                # are free bitcasts where the channel-major entry forced
+                # ~2.4 ms/layer of layout copies (see mixer_fft_conv_bm).
+                if os.environ.get("DEEPCHOPPER_MIXER_BM", "1") == "1":
+                    y_bm = pallas_fft.mixer_fft_conv_bm(
+                        jnp.transpose(proj, (1, 0, 2)), k_short, b_short, k_long, bias
+                    )
+                    y = jnp.transpose(y_bm, (1, 0, 2))
+                else:
+                    y = pallas_fft.mixer_fft_conv_cm(proj, k_short, b_short, k_long, bias)
                 return DenseCM(d, name="out_proj", dtype=dtype)(y)
 
         uc = short_depthwise_conv_cm(proj, k_short, b_short)  # (3d, B, L)
@@ -381,7 +391,7 @@ class HyenaBackbone(nn.Module):
     config: HyenaConfig
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray, channel_major_out: bool = False) -> jnp.ndarray:
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         emb = nn.Embed(
@@ -393,6 +403,11 @@ class HyenaBackbone(nn.Module):
         r = jnp.moveaxis(emb, -1, 0)  # (D, B, L): one layout pass in
         for i in range(cfg.n_layer):
             r = HyenaBlock(cfg, name=f"block_{i}")(r)
+        if channel_major_out:
+            # For the channel-major head: skip the layout pass out and emit
+            # compute_dtype — the same rounding the (B, L, D) head's own
+            # input cast performed on the f32 norm output.
+            return LayerNormCM(epsilon=cfg.layer_norm_epsilon, name="ln_f", out_dtype=dtype)(r)
         # Final norm in float32: the head consumes an f32 hidden state.
         h = LayerNormCM(epsilon=cfg.layer_norm_epsilon, name="ln_f", out_dtype=jnp.float32)(r)
         return jnp.moveaxis(h, 0, -1)  # (B, L, D): one layout pass out

@@ -691,18 +691,21 @@ def _mixer_kernel(
     out_ref,
     *,
     precision: str,
+    batch_major: bool = False,
 ):
     """Per grouped channel: short conv (3 gates) -> gate -> FFT conv -> gate.
 
-    p*_ref: (cg, B, h, n1) raw in_proj digits for x2/x1/v channels.
-    ks_ref: (3, cg, 3) taps [gate, channel, tap] (tap t multiplies x[n-(2-t)]
-    for taps=3, matching short_depthwise_conv). bs_ref: (3, cg) biases.
+    p*_ref: (cg, B, h, n1) raw in_proj digits for x2/x1/v channels — or
+    (B, cg, h, n1) when `batch_major` (the layout XLA's surrounding matmul
+    fusions prefer; see _mixer_impl). ks_ref: (3, cg, 3) taps
+    [gate, channel, tap] (tap t multiplies x[n-(2-t)] for taps=3, matching
+    short_depthwise_conv). bs_ref: (3, cg) biases.
     """
-    n_group = pv_ref.shape[0]
+    n_group = pv_ref.shape[1] if batch_major else pv_ref.shape[0]
     taps = ks_ref.shape[2]
 
     def sconv(ref, gate: int, g: int):
-        x = ref[g].astype(jnp.float32)  # (B, h, n1)
+        x = (ref[:, g] if batch_major else ref[g]).astype(jnp.float32)  # (B, h, n1)
         out = x * ks_ref[gate, g, taps - 1]
         for t in range(taps - 1):
             out = out + _shifted(x, taps - 1 - t) * ks_ref[gate, g, t]
@@ -733,7 +736,10 @@ def _mixer_kernel(
         ictw, istw = ictw_ref[:], istw_ref[:]
         sr, si = sr * ictw - si * istw, sr * istw + si * ictw
         y = lmm(ic2h_ref[:], sr) - lmm(is2h_ref[:], si)
-        out_ref[g] = (y * x2).astype(out_ref.dtype)
+        if batch_major:
+            out_ref[:, g] = (y * x2).astype(out_ref.dtype)
+        else:
+            out_ref[g] = (y * x2).astype(out_ref.dtype)
 
 
 def mixer_reference_xla(proj, k_short, b_short, k_long, bias):
@@ -764,8 +770,11 @@ def mixer_reference_xla(proj, k_short, b_short, k_long, bias):
     return (z * x2).astype(proj.dtype)
 
 
-def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
-    width, batch, seq_len = proj.shape
+def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision, batch_major=False):
+    if batch_major:
+        batch, width, seq_len = proj.shape
+    else:
+        width, batch, seq_len = proj.shape
     d_model = width // 3
     taps = k_short.shape[0]
     n = 2 * seq_len
@@ -780,7 +789,9 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
     bt = max(1, min(batch, cap // n))
     padded_batch = ((batch + bt - 1) // bt) * bt
     if padded_batch != batch:
-        proj = jnp.pad(proj, ((0, 0), (0, padded_batch - batch), (0, 0)))
+        pad_b = padded_batch - batch
+        pad_spec = ((0, pad_b), (0, 0), (0, 0)) if batch_major else ((0, 0), (0, pad_b), (0, 0))
+        proj = jnp.pad(proj, pad_spec)
     nb = padded_batch // bt
 
     # cg stays 8: the tap-table blocks (3, cg, taps) need cg divisible by 8
@@ -790,7 +801,10 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
         cg //= 2
     cg = max(cg, 1)
 
-    pd = proj.reshape(width, padded_batch, h, n1)
+    if batch_major:
+        pd = proj.reshape(padded_batch, width, h, n1)
+    else:
+        pd = proj.reshape(width, padded_batch, h, n1)
     kr, ki = khat_scrambled(k_long, n, bias)
 
     # Taps regrouped [gate, channel, tap]; biases [gate, channel].
@@ -803,17 +817,28 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
         t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
     ]  # fmt: skip
 
-    blk = (cg, bt, h, n1)
-    p2_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
-    p1_spec = pl.BlockSpec(
-        blk, lambda d, b, _G=d_model // cg: (d + _G, b, 0, 0), memory_space=pltpu.VMEM
-    )
-    pv_spec = pl.BlockSpec(
-        blk, lambda d, b, _G=d_model // cg: (d + 2 * _G, b, 0, 0), memory_space=pltpu.VMEM
-    )
+    _G = d_model // cg
+    if batch_major:
+        # Block (bt, cg, h, n1) over (B, 3D, h, n1): the array XLA's matmul
+        # fusions already produce PHYSICALLY (their preferred {2,0,1} layout
+        # on the logical (3D, B, L) output is batch-major), so the logical
+        # transpose feeding this kernel is a free bitcast instead of the
+        # two ~1.2ms copy passes per layer the channel-major entry paid.
+        blk = (bt, cg, h, n1)
+        p2_spec = pl.BlockSpec(blk, lambda d, b: (b, d, 0, 0), memory_space=pltpu.VMEM)
+        p1_spec = pl.BlockSpec(blk, lambda d, b: (b, d + _G, 0, 0), memory_space=pltpu.VMEM)
+        pv_spec = pl.BlockSpec(blk, lambda d, b: (b, d + 2 * _G, 0, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(blk, lambda d, b: (b, d, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((padded_batch, d_model, h, n1), proj.dtype)
+    else:
+        blk = (cg, bt, h, n1)
+        p2_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
+        p1_spec = pl.BlockSpec(blk, lambda d, b: (d + _G, b, 0, 0), memory_space=pltpu.VMEM)
+        pv_spec = pl.BlockSpec(blk, lambda d, b: (d + 2 * _G, b, 0, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((d_model, padded_batch, h, n1), proj.dtype)
     ks_spec = pl.BlockSpec((3, cg, taps), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
     bs_spec = pl.BlockSpec((3, cg, 1), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec(blk, lambda d, b: (d, b, 0, 0), memory_space=pltpu.VMEM)
     khat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
     table_spec = [
         pl.BlockSpec(a.shape, lambda d, b: (0, 0), memory_space=pltpu.VMEM) for a in tables
@@ -822,11 +847,11 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
     flops_fft = 2 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
     itemsize = jnp.dtype(proj.dtype).itemsize
     out = pl.pallas_call(
-        functools.partial(_mixer_kernel, precision=precision),
+        functools.partial(_mixer_kernel, precision=precision, batch_major=batch_major),
         grid=(d_model // cg, nb),
         in_specs=[p2_spec, p1_spec, pv_spec, ks_spec, bs_spec, khat_spec, khat_spec, *table_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((d_model, padded_batch, h, n1), proj.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_fft,
             bytes_accessed=4 * d_model * padded_batch * seq_len * itemsize,
@@ -835,6 +860,8 @@ def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision):
         interpret=interpret,
     )(pd, pd, pd, ks, bs, kr, ki, *[jnp.asarray(a) for a in tables])
 
+    if batch_major:
+        return out.reshape(padded_batch, d_model, seq_len)[:batch]
     return out.reshape(d_model, padded_batch, seq_len)[:, :batch]
 
 
@@ -875,6 +902,63 @@ def mixer_fft_conv_cm(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _mixer_autodiff(proj, k_short, b_short, k_long, bias, interpret, precision or DEFAULT_PRECISION)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _mixer_autodiff_bm(proj_bm, k_short, b_short, k_long, bias, interpret, precision):
+    return _mixer_impl(
+        proj_bm, k_short, b_short, k_long, bias,
+        interpret=interpret, precision=precision, batch_major=True,
+    )  # fmt: skip
+
+
+def _mixer_bm_fwd(proj_bm, k_short, b_short, k_long, bias, interpret, precision):
+    y = _mixer_impl(
+        proj_bm, k_short, b_short, k_long, bias,
+        interpret=interpret, precision=precision, batch_major=True,
+    )  # fmt: skip
+    return y, (proj_bm, k_short, b_short, k_long, bias)
+
+
+def _mixer_bm_bwd(interpret, precision, res, dy):
+    proj_bm, k_short, b_short, k_long, bias = res
+
+    def _ref_bm(p_bm, ks, bs, kl, b):
+        return jnp.transpose(
+            mixer_reference_xla(jnp.transpose(p_bm, (1, 0, 2)), ks, bs, kl, b), (1, 0, 2)
+        )
+
+    _, vjp = jax.vjp(_ref_bm, proj_bm, k_short, b_short, k_long, bias)
+    return vjp(dy)
+
+
+_mixer_autodiff_bm.defvjp(_mixer_bm_fwd, _mixer_bm_bwd)
+
+
+def mixer_fft_conv_bm(
+    proj_bm: jnp.ndarray,
+    k_short: jnp.ndarray,
+    b_short: jnp.ndarray,
+    k_long: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """Batch-major fused mixer conv: proj_bm (B, 3D, L) -> (B, D, L).
+
+    Same math as `mixer_fft_conv_cm` on transposed tensors, but the kernel's
+    required default layout on (B, 3D, L) is PHYSICALLY the {2,0,1} layout
+    XLA already chooses for the in_proj matmul's (3D, B, L) output — so the
+    surrounding logical transposes lower to bitcasts and the ~2.4 ms/layer of
+    layout-copy passes the channel-major entry pays disappear (measured on
+    the 256x1024 flagship step; see docs/performance.md). Differentiable.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _mixer_autodiff_bm(
+        proj_bm, k_short, b_short, k_long, bias, interpret, precision or DEFAULT_PRECISION
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,63 @@ class TestHead:
         np.testing.assert_allclose(np.asarray(mine), out.numpy(), atol=1e-5)
 
 
+class TestHeadCM:
+    def test_cm_head_matches_bld_head(self):
+        """Channel-major head: same params, same math — logits equal the
+        (B, L, D) head's (transposed) to f32 tolerance."""
+        from deepchopper_tpu.models.head import TokenClassificationHeadCM
+
+        cfg = HeadConfig(
+            input_size=8, lin1_size=16, lin2_size=16, num_class=2, compute_dtype="float32"
+        )
+        head = TokenClassificationHead(cfg)
+        head_cm = TokenClassificationHeadCM(cfg)
+        rng = np.random.default_rng(1)
+        hidden = rng.standard_normal((3, 10, 8)).astype(np.float32)
+        quals = rng.random((3, 10)).astype(np.float32)
+        params = head.init(jax.random.PRNGKey(0), jnp.asarray(hidden), jnp.asarray(quals))["params"]
+        # identical param tree consumable by both variants
+        params_cm = head_cm.init(
+            jax.random.PRNGKey(0), jnp.asarray(hidden).transpose(2, 0, 1), jnp.asarray(quals)
+        )["params"]
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_cm)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_cm)):
+            assert a.shape == b.shape
+
+        want = head.apply({"params": params}, jnp.asarray(hidden), jnp.asarray(quals))
+        got = head_cm.apply(
+            {"params": params}, jnp.asarray(hidden).transpose(2, 0, 1), jnp.asarray(quals)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(1, 2, 0), np.asarray(want), atol=1e-5
+        )
+
+    def test_classifier_cm_head_default_matches_bld_path(self, monkeypatch):
+        """The flagship classifier's CM-head default produces the same logits
+        (f32 path) as DEEPCHOPPER_CM_HEAD=0, from the same checkpoint."""
+        import dataclasses
+
+        from deepchopper_tpu.models import HyenaTokenClassifier, init_params
+        from deepchopper_tpu.models.config import TINY_1K
+
+        cfg = dataclasses.replace(TINY_1K, compute_dtype="float32", conv_impl="fft")
+        hcfg = HeadConfig(
+            input_size=cfg.d_model, lin1_size=64, lin2_size=64, compute_dtype="float32"
+        )
+        module = HyenaTokenClassifier(backbone_config=cfg, head_config=hcfg)
+        rng = np.random.default_rng(2)
+        ids = jnp.asarray(rng.integers(7, 11, (2, 64)), jnp.int32)
+        quals = jnp.asarray(rng.random((2, 64)), jnp.float32)
+
+        monkeypatch.setenv("DEEPCHOPPER_CM_HEAD", "1")
+        params = init_params(module, seq_len=64)
+        out_cm = module.apply({"params": params}, ids, quals)
+        monkeypatch.setenv("DEEPCHOPPER_CM_HEAD", "0")
+        out_bld = module.apply({"params": params}, ids, quals)
+        assert out_cm.shape == out_bld.shape == (2, 64, 2)
+        np.testing.assert_allclose(np.asarray(out_cm), np.asarray(out_bld), atol=2e-5)
+
+
 class TestHeadBf16:
     def test_bf16_head_matches_f32_argmax(self):
         """The default bf16 head must stay argmax-stable vs the f32 head.

@@ -241,6 +241,70 @@ def test_mixer_conv_cm_matches_composed_reference(shape):
     np.testing.assert_allclose(got, ref, atol=1e-4 * max(1.0, np.abs(ref).max()))
 
 
+@pytest.mark.parametrize("shape", [(4, 256, 8), (2, 512, 4)])
+def test_mixer_conv_bm_matches_composed_reference(shape):
+    """Batch-major kernel entry (B, 3D, L) -> (B, D, L): same math as the
+    channel-major reference on transposed tensors."""
+    from deepchopper_tpu.ops.pallas_fft import mixer_fft_conv_bm, mixer_reference_xla
+
+    batch, seq_len, d_model = shape
+    rng = np.random.default_rng(seq_len + 5)
+    proj = rng.standard_normal((3 * d_model, batch, seq_len)).astype(np.float32)
+    k_short = rng.standard_normal((3, 1, 3 * d_model)).astype(np.float32)
+    b_short = rng.standard_normal(3 * d_model).astype(np.float32)
+    k_long = (
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None]
+    ).astype(np.float32)
+    bias = rng.standard_normal(d_model).astype(np.float32)
+
+    args = tuple(jnp.asarray(a) for a in (proj, k_short, b_short, k_long, bias))
+    ref = np.asarray(mixer_reference_xla(*args))  # (D, B, L)
+    got = np.asarray(
+        mixer_fft_conv_bm(
+            jnp.transpose(args[0], (1, 0, 2)), *args[1:], interpret=True, precision="float32"
+        )
+    )
+    assert got.shape == (batch, d_model, seq_len)
+    np.testing.assert_allclose(
+        got.transpose(1, 0, 2), ref, atol=1e-4 * max(1.0, np.abs(ref).max())
+    )
+
+
+def test_mixer_conv_bm_grad_matches_composed_reference():
+    import jax
+
+    from deepchopper_tpu.ops.pallas_fft import mixer_fft_conv_bm, mixer_reference_xla
+
+    rng = np.random.default_rng(13)
+    d_model, batch, seq_len = 3, 2, 256
+    proj_bm = jnp.asarray(rng.standard_normal((batch, 3 * d_model, seq_len)), jnp.float32)
+    k_short = jnp.asarray(rng.standard_normal((3, 1, 3 * d_model)), jnp.float32)
+    b_short = jnp.asarray(rng.standard_normal(3 * d_model), jnp.float32)
+    k_long = jnp.asarray(
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None],
+        jnp.float32,
+    )
+    bias = jnp.asarray(rng.standard_normal(d_model), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((batch, d_model, seq_len)), jnp.float32)
+
+    def loss_ref(*a):
+        return jnp.sum(
+            jnp.transpose(mixer_reference_xla(jnp.transpose(a[0], (1, 0, 2)), *a[1:]), (1, 0, 2))
+            * cot
+        )
+
+    def loss_fused(*a):
+        return jnp.sum(mixer_fft_conv_bm(*a, interpret=True, precision="float32") * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(proj_bm, k_short, b_short, k_long, bias)
+    g_fus = jax.grad(loss_fused, argnums=tuple(range(5)))(proj_bm, k_short, b_short, k_long, bias)
+    for a, b_, name in zip(g_ref, g_fus, "proj k_short b_short k_long bias".split()):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=3e-4 * scale, err_msg=name
+        )
+
+
 def test_mixer_conv_cm_grad_matches_composed_reference():
     import jax
 
