@@ -249,6 +249,11 @@ def cmd_predict(args: argparse.Namespace) -> int:
                     f"{stats.total_output_count} records -> {stats.output_file}"
                 )
             return 0
+        if jax.default_backend() == "tpu":
+            # Stream during warmup: background-compile the bucket ladder and
+            # start chopping immediately (bit-exact row decomposition onto
+            # whichever variants have landed).
+            engine.warmup_async()
         if args.fq is not None and args.fq != args.data_path:
             # The streamed runner predicts and chops the same stream; a
             # different qualities file needs the two-phase path.

@@ -143,6 +143,15 @@ class PredictEngine:
         import threading
 
         self._lock = threading.Lock()
+        # In-flight compiles: shape -> Event (set when done); lets the stream
+        # thread and the async-warmup pool dedupe work on the same shape.
+        self._inflight: dict[tuple[int, int], threading.Event] = {}
+        self._inflight_exc: dict[tuple[int, int], BaseException] = {}
+        # Streaming warmup: when on, _plan_dispatches only uses ALREADY
+        # compiled row variants (bit-exact row decomposition), so the stream
+        # never blocks on a compile except the first, smallest variant of a
+        # width it needs.
+        self._stream_warmup = False
         self.stats = PredictStats()
 
         module = bundle.module
@@ -208,8 +217,28 @@ class PredictEngine:
     # -- compilation ------------------------------------------------------
 
     def _get_step(self, shape: tuple[int, int]):
+        import threading
+
         fn = self._compiled.get(shape)
-        if fn is None:
+        if fn is not None:
+            return fn
+        with self._lock:
+            fn = self._compiled.get(shape)
+            if fn is not None:
+                return fn
+            ev = self._inflight.get(shape)
+            owner = ev is None
+            if owner:
+                ev = threading.Event()
+                self._inflight[shape] = ev
+        if not owner:
+            # Another thread (stream or warmup pool) is compiling this shape.
+            ev.wait()
+            exc = self._inflight_exc.get(shape)
+            if exc is not None:
+                raise exc
+            return self._compiled[shape]
+        try:
             t0 = time.monotonic()
             if self.mesh is not None:
                 from ..parallel.mesh import batch_sharding, replicated_sharding
@@ -234,6 +263,14 @@ class PredictEngine:
                 self.stats.compile_s += dt
                 self._compiled[shape] = fn
             log.info("compiled bucket %s in %.1fs", shape, dt)
+        except BaseException as exc:
+            with self._lock:
+                self._inflight_exc[shape] = exc
+            raise
+        finally:
+            with self._lock:
+                self._inflight.pop(shape, None)
+            ev.set()
         return fn
 
     def _bucket_batch_size(self, width: int) -> int:
@@ -364,6 +401,118 @@ class PredictEngine:
             np.asarray(out)
         return time.monotonic() - t0
 
+    def warmup_async(
+        self,
+        buckets: list[int] | None = None,
+        variants: bool = True,
+        max_workers: int | None = None,
+    ):
+        """Background warmup: stream DURING compilation instead of after it.
+
+        Compiles the bucket ladder on daemon threads, smallest row variants
+        first across all widths, so the stream's first dispatch of a width
+        blocks on at most ONE cheap compile; bigger variants hot-swap in as
+        they land (`_plan_dispatches` consults the live compiled set, and row
+        decomposition is bit-exact, so outputs are identical to a fully
+        warmed run). The reference's Rust chop starts streaming immediately
+        (src/bin/predict.rs:275) — this is the TPU equivalent.
+
+        Returns a `concurrent.futures.Future` that completes (with total
+        compile-wall seconds) when the whole ladder is compiled. All pool
+        threads are DAEMONS: pending compiles never block process exit
+        (`future.cancel()` also stops workers before their next compile).
+        """
+        import os
+        import queue as queue_mod
+        import threading
+        from concurrent.futures import Future
+
+        shapes: list[tuple[int, int]] = []
+        # Priority: one small variant of EVERY width first (unblocks the
+        # stream everywhere), then the mid variants, then the full targets.
+        per_width = {
+            w: (self._row_variants(w) if variants else [self._bucket_batch_size(w)])
+            for w in (buckets or self.buckets)
+        }
+        max_tiers = max(len(v) for v in per_width.values()) if per_width else 0
+        for tier in range(max_tiers):
+            for w, rows in per_width.items():
+                if tier < len(rows):
+                    shapes.append((rows[tier], w))
+        shapes = [s for s in dict.fromkeys(shapes) if s not in self._compiled]
+        self._stream_warmup = True
+        t0 = time.monotonic()
+        workers = max_workers or min(16, max(1, len(shapes), 1), os.cpu_count() or 8)
+        future: Future = Future()
+        work: queue_mod.Queue = queue_mod.Queue()
+        for s in shapes:
+            work.put(s)
+        errors: list[BaseException] = []
+
+        def _worker() -> None:
+            while not future.cancelled():
+                try:
+                    s = work.get_nowait()
+                except queue_mod.Empty:
+                    return
+                try:
+                    self._get_step(s)
+                except BaseException as exc:  # noqa: BLE001 - surfaced via future
+                    errors.append(exc)
+                    return
+
+        def _run() -> None:
+            try:
+                self.runtime_setup()
+                threads = [
+                    threading.Thread(target=_worker, name=f"warmup_{i}", daemon=True)
+                    for i in range(workers)
+                ]
+                self._warmup_threads = threads
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            finally:
+                self._stream_warmup = False
+            wall = time.monotonic() - t0
+            log.info("async warmup: %d shapes done in %.1fs wall", len(shapes), wall)
+            if future.cancelled():
+                return
+            if errors:
+                future.set_exception(errors[0])
+            else:
+                future.set_result(wall)
+
+        coordinator = threading.Thread(target=_run, name="warmup-main", daemon=True)
+        self._warmup_future = future
+        self._warmup_coordinator = coordinator
+        coordinator.start()
+        # Daemon threads frozen mid-XLA-compile at interpreter teardown abort
+        # the process ("FATAL: exception not rethrown") — drain gracefully.
+        import atexit
+
+        atexit.register(self.stop_warmup)
+        return future
+
+    def stop_warmup(self) -> None:
+        """Cancel pending async-warmup compiles and wait out in-flight ones.
+
+        Bounded by the duration of at most one compile per worker thread;
+        safe to call multiple times / without a prior warmup_async."""
+        fut = getattr(self, "_warmup_future", None)
+        if fut is None:
+            return
+        fut.cancel()
+        coord = getattr(self, "_warmup_coordinator", None)
+        if coord is not None and coord.is_alive():
+            coord.join()
+        self._warmup_future = None
+
+    def _available_rows(self, width: int) -> list[int]:
+        with self._lock:
+            return sorted(r for (r, w) in self._compiled if w == width)
+
     def estimated_flops(self) -> float | None:
         """Total device FLOPs dispatched so far, from XLA's own cost analysis.
 
@@ -489,7 +638,28 @@ class PredictEngine:
         floor was ~30 ms). Compiles nothing new: only warmup's shapes run.
         """
         variants = self._row_variants(w)
+        if self._stream_warmup:
+            # Streaming warmup: dispatch only to ALREADY compiled variants
+            # (bit-exact row decomposition), blocking at most on the smallest
+            # variant of a width seen for the first time. Bigger variants
+            # hot-swap in as the background pool lands them.
+            avail = self._available_rows(w)
+            variants = avail or [variants[0]]
         target_b = next((v for v in variants if v >= b), None)
+        if target_b is None and self._stream_warmup and variants[-1] < b:
+            # Largest compiled variant is smaller than the batch: decompose
+            # fully into compiled variants (no new compiles mid-stream).
+            plan: list[tuple[int, int, int]] = []
+            start = 0
+            rem = b
+            for v in sorted(variants, reverse=True):
+                while rem >= v:
+                    plan.append((start, v, v))
+                    start += v
+                    rem -= v
+            if rem:
+                plan.append((start, rem, variants[0]))
+            return plan
         if target_b is None:
             # Oversized batch from a foreign producer: pad its own row
             # count up to a mesh multiple (one extra compile, no crash).

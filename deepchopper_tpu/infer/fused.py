@@ -48,6 +48,7 @@ class FusedStats(ChopStats):
     device_s: float = 0.0  # feed thread blocked on device results (D2H fetch)
     smooth_s: float = 0.0  # worker: majority vote + region extraction (overlaps device)
     chop_write_s: float = 0.0  # worker: record split + BGZF write (overlaps device)
+    first_write_s: float = 0.0  # wall from run start to the first chopped chunk written
 
 
 _CHOP_TYPE_CODE = {ChopType.ALL: 0, ChopType.TERMINAL: 1, ChopType.INTERNAL: 2}
@@ -217,6 +218,8 @@ def fused_predict_chop(
         stats.smooth_s += t1 - t0
         while order and order[0].remaining == 0:
             _chop_chunk(order.popleft(), opts, writer, stats)
+            if not stats.first_write_s:
+                stats.first_write_s = time.monotonic() - start
         stats.chop_write_s += time.monotonic() - t1
 
     import queue
@@ -280,6 +283,8 @@ def fused_predict_chop(
                         f"chunk {chunk.chunk_id}: {chunk.remaining} reads never predicted"
                     )
                 _chop_chunk(chunk, opts, writer, stats)
+                if not stats.first_write_s:
+                    stats.first_write_s = time.monotonic() - start
 
         if opts.output_prefix is not None:
             output_file = (

@@ -258,6 +258,85 @@ def test_plan_dispatches_greedy_decomposition():
     assert engine._plan_dispatches(64, w) == [(0, 64, 64)]
 
 
+def test_plan_dispatches_streaming_warmup_uses_available_variants():
+    """During async warmup, plans use only ALREADY-compiled row variants
+    (bit-exact row decomposition) instead of blocking on the full ladder."""
+    from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.models.registry import DeepChopper
+
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+    engine = PredictEngine(bundle, max_length=1024, tokens_per_batch=1 << 18)
+    w = 1024
+    assert engine._row_variants(w) == [16, 64, 256]
+    engine._stream_warmup = True
+    # nothing compiled yet -> falls back to the smallest static variant
+    assert engine._plan_dispatches(5, w) == [(0, 5, 16)]
+    # only 16 compiled: a full 256-row batch decomposes into 16-row parts
+    engine._compiled[(16, w)] = object()
+    plan = engine._plan_dispatches(256, w)
+    assert all(t == 16 for (_, _, t) in plan) and sum(r for (_, r, _) in plan) == 256
+    # 64 lands: plans immediately prefer it
+    engine._compiled[(64, w)] = object()
+    plan = engine._plan_dispatches(256, w)
+    assert [t for (_, _, t) in plan] == [64, 64, 64, 64]
+    # full target lands: single dispatch again
+    engine._compiled[(256, w)] = object()
+    assert engine._plan_dispatches(256, w) == [(0, 256, 256)]
+    engine._stream_warmup = False
+    assert engine._plan_dispatches(256, w) == [(0, 256, 256)]
+
+
+def test_streaming_warmup_fused_output_matches_warmed(tmp_path):
+    """warmup_async + immediate stream writes byte-identical chopped output
+    to a fully pre-warmed engine (row decomposition is exact)."""
+    import gzip
+
+    from deepchopper_tpu import native
+    from deepchopper_tpu.chop import ChopOptions
+    from deepchopper_tpu.infer import PredictEngine
+    from deepchopper_tpu.infer.fused import fused_predict_chop
+    from deepchopper_tpu.models.registry import DeepChopper
+
+    if not native.available():
+        pytest.skip("native host ops unavailable")
+    rng = np.random.default_rng(21)
+    fq = tmp_path / "in.fq"
+    with open(fq, "wb") as fh:
+        for i in range(120):
+            length = int(rng.integers(40, 500))
+            seq = "".join(rng.choice(list("ACGTN"), length))
+            qual = "".join(chr(c) for c in rng.integers(33, 74, length))
+            fh.write(b"@s%d\n%s\n+\n%s\n" % (i, seq.encode(), qual.encode()))
+
+    bundle = DeepChopper.new("hyenadna-tiny-1k-seqlen", seed=0)
+
+    def run(streaming: bool, prefix: str) -> bytes:
+        engine = PredictEngine(
+            bundle,
+            max_length=256,
+            tokens_per_batch=1 << 12,
+            buckets=[64, 128, 256],
+            return_labels=True,
+        )
+        if streaming:
+            fut = engine.warmup_async()
+        else:
+            engine.warmup()
+        stats = fused_predict_chop(
+            engine, fq, ChopOptions(output_prefix=str(tmp_path / prefix))
+        )
+        if streaming:
+            fut.result()
+            assert stats.first_write_s > 0
+        return gzip.decompress(Path(stats.output_file).read_bytes())
+
+    from pathlib import Path
+
+    warmed = run(False, "warmed")
+    streamed = run(True, "streamed")
+    assert streamed == warmed
+
+
 def test_prefetch_iter_propagates_producer_errors():
     """The background encode thread's exceptions must surface at the
     consumer, not vanish into a dead daemon thread."""
