@@ -235,6 +235,46 @@ def main() -> int:
             "rss_after_warmup_mb": round(rss_after_warmup, 1),
             "rss_after_run_mb": round(current_rss_mb(), 1),
         }
+        # Secondary metric: the Caduceus family end-to-end (the reference's
+        # best-F1 checkpoint family is caduceus-ph, BASELINE.md). Small
+        # bucket set, full-target row variants only: a throughput probe,
+        # not a padding-efficiency run. BENCH_CADUCEUS=0 skips.
+        if os.environ.get("BENCH_CADUCEUS", "1") == "1":
+            cad_n = int(os.environ.get("BENCH_CADUCEUS_READS", "2000"))
+            cad_fq = Path(tmp) / "cad.fq"
+            synth_fastq(cad_fq, cad_n, seed=2)
+            cad_bundle = DeepChopper.new(
+                "caduceus-ph_seqlen-131k_d_model-256_n_layer-16", seed=0
+            )
+            os.environ["DEEPCHOPPER_ROW_VARIANTS"] = ""  # t-only ladder
+            try:
+                cad_engine = PredictEngine(
+                    cad_bundle,
+                    max_length=2048,
+                    tokens_per_batch=1 << 15,
+                    buckets=[512, 1024, 2048],
+                    return_labels=True,
+                )
+                cad_warm = cad_engine.warmup()
+                t0 = time.monotonic()
+                cad_stats = fused_predict_chop(
+                    cad_engine, cad_fq, ChopOptions(output_prefix=str(Path(tmp) / "cad_out"))
+                )
+                cad_elapsed = time.monotonic() - t0
+                profile["caduceus"] = {
+                    "model": "caduceus-ph_seqlen-131k_d_model-256_n_layer-16",
+                    "n_reads": cad_n,
+                    "max_length": 2048,
+                    "reads_per_s": round(cad_n / cad_elapsed, 1),
+                    "tokens_per_s": round(cad_engine.stats.tokens / cad_elapsed, 0),
+                    "elapsed_s": round(cad_elapsed, 2),
+                    "warmup_compile_s": round(cad_warm, 1),
+                    "output_records": cad_stats.total_output_count,
+                }
+                print(f"# caduceus: {json.dumps(profile['caduceus'])}", file=sys.stderr)
+            finally:
+                os.environ.pop("DEEPCHOPPER_ROW_VARIANTS", None)
+
         Path(__file__).with_name("BENCH_PROFILE.json").write_text(
             json.dumps(profile, indent=1) + "\n"
         )

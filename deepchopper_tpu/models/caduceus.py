@@ -92,7 +92,7 @@ def selective_scan(
     return y + u * D[None, None, :]
 
 
-def dispatch_selective_scan(u, delta, A, Bp, Cp, D, cfg) -> jnp.ndarray:
+def dispatch_selective_scan(u, delta, A, Bp, Cp, D, cfg, reverse: bool = False) -> jnp.ndarray:
     """Pick the scan implementation.
 
     On TPU the VMEM-resident Pallas kernel (ops/pallas_scan.py) runs the
@@ -100,6 +100,9 @@ def dispatch_selective_scan(u, delta, A, Bp, Cp, D, cfg) -> jnp.ndarray:
     formulation, which materializes (B, L, D_in, N) affine maps and is
     HBM-bound (docs/performance.md). Off-TPU (and under
     DEEPCHOPPER_SCAN_IMPL=xla) the chunked associative scan runs instead.
+
+    `reverse=True` scans right-to-left — the kernel reads chunks
+    back-to-front (no flip copies); the XLA fallback flips around the scan.
     """
     import os
 
@@ -109,17 +112,46 @@ def dispatch_selective_scan(u, delta, A, Bp, Cp, D, cfg) -> jnp.ndarray:
     ):
         from ..ops.pallas_scan import selective_scan_pallas
 
-        return selective_scan_pallas(u, delta, A, Bp, Cp, D)
+        return selective_scan_pallas(u, delta, A, Bp, Cp, D, reverse=reverse)
+    if reverse:
+        y = selective_scan(
+            jnp.flip(u, 1), jnp.flip(delta, 1), A, jnp.flip(Bp, 1), jnp.flip(Cp, 1),
+            D, chunk=cfg.scan_chunk,
+        )  # fmt: skip
+        return jnp.flip(y, 1)
     return selective_scan(u, delta, A, Bp, Cp, D, chunk=cfg.scan_chunk)
 
 
+def short_depthwise_conv_rev(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Mirror of `short_depthwise_conv`: flip(conv(flip(x))) without flips.
+
+    y[t] = sum_j k[j] * x[t + (taps-1) - j]  (anti-causal: right pad, taps
+    mirrored). Used by the reverse direction of the bidirectional mixer so
+    the whole reverse pass is flip-free end to end.
+    x: (B, L, W), kernel: (taps, 1, W).
+    """
+    taps = kernel.shape[0]
+    seq_len = x.shape[1]
+    kernel = kernel.astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, taps - 1), (0, 0)))
+    out = xp[:, 0:seq_len, :] * kernel[taps - 1, 0][None, None, :]
+    for m in range(1, taps):
+        out = out + xp[:, m : m + seq_len, :] * kernel[taps - 1 - m, 0][None, None, :]
+    return out + bias[None, None, :].astype(x.dtype)
+
+
 class MambaMixer(nn.Module):
-    """One Mamba selective-SSM mixer (d_model -> d_model)."""
+    """One Mamba selective-SSM mixer (d_model -> d_model).
+
+    `reverse=True` runs the mixer as if on the flipped sequence WITHOUT any
+    flips: the per-position ops (projections, gating) commute with flipping,
+    so only the short conv (mirrored) and the scan (reverse kernel walk)
+    differ — the two jnp.flip HBM passes per layer-direction disappear."""
 
     config: CaduceusConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, reverse: bool = False) -> jnp.ndarray:
         cfg = self.config
         d_inner = cfg.d_model * cfg.expand
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -133,7 +165,8 @@ class MambaMixer(nn.Module):
             "conv1d_kernel", nn.initializers.lecun_normal(), (cfg.d_conv, 1, d_inner), jnp.float32
         )
         conv_b = self.param("conv1d_bias", nn.initializers.zeros, (d_inner,), jnp.float32)
-        xs = jax.nn.silu(short_depthwise_conv(xs, conv_k, conv_b))
+        conv = short_depthwise_conv_rev if reverse else short_depthwise_conv
+        xs = jax.nn.silu(conv(xs, conv_k, conv_b))
 
         # Input-dependent SSM parameters.
         bcdt = nn.Dense(
@@ -153,7 +186,7 @@ class MambaMixer(nn.Module):
         A = -jnp.exp(a_log)
         D = self.param("D", nn.initializers.ones, (d_inner,), jnp.float32)
 
-        y = dispatch_selective_scan(xs, delta, A, Bp, Cp, D, cfg)
+        y = dispatch_selective_scan(xs, delta, A, Bp, Cp, D, cfg, reverse=reverse)
         y = y * jax.nn.silu(z)
         return nn.Dense(cfg.d_model, use_bias=False, name="out_proj", dtype=dtype)(
             y.astype(dtype)
@@ -181,7 +214,10 @@ class BiMambaMixer(nn.Module):
             if self.config.bidirectional_weight_tie
             else MambaMixer(self.config, name="mixer_rev")
         )
-        bwd = jnp.flip(rev(jnp.flip(x, axis=1)), axis=1)
+        # Flip-free reverse pass: mathematically flip(rev(flip(x))) — the
+        # mirrored conv + reverse scan compute it without the two jnp.flip
+        # HBM round trips per layer-direction.
+        bwd = rev(x, reverse=True)
         return fwd + bwd
 
 

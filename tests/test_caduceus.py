@@ -65,6 +65,37 @@ def test_chunked_scan_matches_flat():
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_reverse_mixer_matches_flip_formulation():
+    """MambaMixer(reverse=True) == flip(mixer(flip(x))) with shared params —
+    the flip-free reverse pass of the bidirectional mixer is exact."""
+    from deepchopper_tpu.models.caduceus import MambaMixer
+    from deepchopper_tpu.models.config import CADUCEUS_TINY
+
+    import dataclasses
+
+    cfg = dataclasses.replace(CADUCEUS_TINY, compute_dtype="float32")
+    mixer = MambaMixer(cfg)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 33, cfg.d_model)), jnp.float32)
+    params = mixer.init(jax.random.PRNGKey(0), x)["params"]
+    want = jnp.flip(mixer.apply({"params": params}, jnp.flip(x, axis=1)), axis=1)
+    got = mixer.apply({"params": params}, x, reverse=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_reverse_short_conv_matches_flip():
+    from deepchopper_tpu.models.caduceus import short_depthwise_conv_rev
+    from deepchopper_tpu.models.hyena import short_depthwise_conv
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 19, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((4, 1, 8)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8), jnp.float32)
+    want = jnp.flip(short_depthwise_conv(jnp.flip(x, axis=1), k, b), axis=1)
+    got = short_depthwise_conv_rev(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 def test_caduceus_forward_shape_and_grad():
     bundle = DeepChopper.new("caduceus-tiny", seed=0)
     rng = np.random.default_rng(1)
