@@ -100,8 +100,14 @@ def _selective_scan_pallas_impl(
     padded_len = seq_len + pad
     nl = padded_len // chunk
 
-    # Batch tile: keep the chunk blocks + state within a few MB of VMEM.
-    bt = max(1, min(batch, (4 << 20) // (chunk * d_in * 4)))
+    # Batch tile: the scoped-VMEM budget must cover DOUBLE-BUFFERED blocks
+    # (Mosaic prefetches the next grid step): 2x(u, delta, y) d-wide blocks
+    # + 2x(B, C) n-wide blocks + the persistent h scratch, all f32. Budget
+    # 12 MB of the 16 MB scoped limit (bt=16 at chunk=128, d_in=512 blew it:
+    # 28.5 MB requested).
+    per_bt = 2 * (3 * chunk * d_in + 2 * chunk * n) * 4 + n * d_in * 4
+    bt = max(1, min(batch, (14 << 20) // per_bt))
+    bt = 1 << (bt.bit_length() - 1)  # power of two: clean batch padding
     bpad = (-batch) % bt
     if bpad:
         u = jnp.pad(u, ((0, bpad), (0, 0), (0, 0)))
