@@ -770,6 +770,32 @@ def mixer_reference_xla(proj, k_short, b_short, k_long, bias):
     return (z * x2).astype(proj.dtype)
 
 
+def mixer_reference_mm(proj, k_short, b_short, k_long, bias):
+    """Same math as `mixer_reference_xla` with the long conv on the MXU
+    four-step (ops.fft.fft_causal_conv_matmul) instead of jnp.fft.
+
+    This is the TRAINING backward's recompute body: autodiff through it is
+    all dot_generals (MXU) — measured much faster than differentiating the
+    jnp.fft formulation on TPU (see TRAIN_PROFILE.json). The jnp.fft
+    reference stays as the precision oracle for tests.
+    """
+    from .fft import fft_causal_conv_matmul
+
+    d_model = k_long.shape[1]
+    taps = k_short.shape[0]
+    p32 = proj.astype(jnp.float32)
+    xp = jnp.pad(p32, ((0, 0), (0, 0), (taps - 1, 0)))
+    seq_len = proj.shape[2]
+    uc = xp[:, :, 0:seq_len] * k_short[0, 0][:, None, None]
+    for t in range(1, taps):
+        uc = uc + xp[:, :, t : t + seq_len] * k_short[t, 0][:, None, None]
+    uc = uc + b_short[:, None, None]
+    x2, x1, v = uc[:d_model], uc[d_model : 2 * d_model], uc[2 * d_model :]
+    w = v * x1  # (D, B, L)
+    z = fft_causal_conv_matmul(jnp.moveaxis(w, 0, -1), k_long.astype(jnp.float32), bias)
+    return (jnp.moveaxis(z, -1, 0) * x2).astype(proj.dtype)
+
+
 def _mixer_impl(proj, k_short, b_short, k_long, bias, *, interpret, precision, batch_major=False):
     if batch_major:
         batch, width, seq_len = proj.shape
@@ -876,9 +902,11 @@ def _mixer_fwd(proj, k_short, b_short, k_long, bias, interpret, precision):
 
 
 def _mixer_bwd(interpret, precision, res, dy):
-    # Autodiff through the composed XLA reference (recomputes the forward —
-    # cheap relative to keeping gated intermediates alive in HBM).
-    _, vjp = jax.vjp(mixer_reference_xla, *res)
+    # Autodiff through the composed MXU-matmul-FFT reference (recomputes the
+    # forward — cheap relative to keeping gated intermediates alive in HBM;
+    # the jnp.fft body measured ~12x the forward step on TPU, the matmul
+    # body keeps the backward on the MXU).
+    _, vjp = jax.vjp(mixer_reference_mm, *res)
     return vjp(dy)
 
 
@@ -922,10 +950,17 @@ def _mixer_bm_fwd(proj_bm, k_short, b_short, k_long, bias, interpret, precision)
 
 def _mixer_bm_bwd(interpret, precision, res, dy):
     proj_bm, k_short, b_short, k_long, bias = res
+    if not interpret and os.environ.get("DEEPCHOPPER_MIXER_BWD", "pallas") == "pallas":
+        # VMEM backward kernel: forward recompute + data cotangents in one
+        # pass; measured ~10x faster than differentiating the composed XLA
+        # reference at (32, 8192) (TRAIN_PROFILE.json).
+        return mixer_bwd_pallas(
+            proj_bm, dy, k_short, b_short, k_long, bias, precision=precision
+        )
 
     def _ref_bm(p_bm, ks, bs, kl, b):
         return jnp.transpose(
-            mixer_reference_xla(jnp.transpose(p_bm, (1, 0, 2)), ks, bs, kl, b), (1, 0, 2)
+            mixer_reference_mm(jnp.transpose(p_bm, (1, 0, 2)), ks, bs, kl, b), (1, 0, 2)
         )
 
     _, vjp = jax.vjp(_ref_bm, proj_bm, k_short, b_short, k_long, bias)
@@ -958,6 +993,246 @@ def mixer_fft_conv_bm(
         interpret = jax.default_backend() != "tpu"
     return _mixer_autodiff_bm(
         proj_bm, k_short, b_short, k_long, bias, interpret, precision or DEFAULT_PRECISION
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixer BACKWARD kernel: the training path's heavy gradients in VMEM.
+#
+# Autodiff through the composed XLA reference recomputes the forward with
+# full-size f32 HBM tensors and materializes every four-step FFT stage —
+# measured ~10x the forward step at (32, 8192) (TRAIN_PROFILE.json). This
+# kernel recomputes the forward IN VMEM (like the forward kernel) and
+# produces the data-side cotangents in the same pass.
+#
+# Math (exact with the kernel's own tables): with the scaled spectrum
+# K̂ = F(k)/n (khat_scrambled) and the kernel's table pair
+# M = F (restricted to the length-L support), N = conj(F) read back on the
+# first L samples, the forward is y = x2 ⊙ N(K̂ ⊙ M(v⊙x1)). Since all DFT
+# tables are symmetric, the adjoints are:
+#     dz        = dy ⊙ x2,          dx2 = dy ⊙ N(K̂ ⊙ M(w))
+#     (er, ei)  = M(dz)             (cotangent of the spectrum Z = K̂⊙ŵ)
+#     dŵ        = conj(K̂) ⊙ (er,ei),  dw = N(dŵ)     (circular correlation)
+#     dv = dw ⊙ x1,  dx1 = dw ⊙ v
+#     dK̂        = conj(ŵ) ⊙ (er,ei), summed over batch (accumulated across
+#                 the sequential batch grid dim into a (cg, n2, n1) block)
+# dK̂ converts to (dk_long, dbias) host-side via jax.vjp(khat_scrambled).
+# The cheap short-conv adjoint (3-tap shifted FMAs) and its tap/bias grads
+# stay in XLA — they are bandwidth-trivial next to the FFT work.
+# ---------------------------------------------------------------------------
+
+
+def _mixer_bwd_kernel(
+    p2_ref,
+    p1_ref,
+    pv_ref,
+    dy_ref,
+    ks_ref,
+    bs_ref,
+    kr_ref,
+    ki_ref,
+    c2h_ref,
+    s2h_ref,
+    ctw_ref,
+    stw_ref,
+    c1_ref,
+    s1_ref,
+    ic1_ref,
+    is1_ref,
+    ictw_ref,
+    istw_ref,
+    ic2h_ref,
+    is2h_ref,
+    dx2_ref,
+    dx1_ref,
+    dv_ref,
+    dkr_ref,
+    dki_ref,
+    *,
+    precision: str,
+):
+    """Batch-major blocks (bt, cg, h, n1); dk̂ accumulated over the b grid."""
+    lc = pl.program_id(1)
+
+    @pl.when(lc == 0)
+    def _init():
+        dkr_ref[...] = jnp.zeros_like(dkr_ref)
+        dki_ref[...] = jnp.zeros_like(dki_ref)
+
+    n_group = pv_ref.shape[1]
+    taps = ks_ref.shape[2]
+
+    def sconv(ref, gate: int, g: int):
+        x = ref[:, g].astype(jnp.float32)
+        out = x * ks_ref[gate, g, taps - 1]
+        for t in range(taps - 1):
+            out = out + _shifted(x, taps - 1 - t) * ks_ref[gate, g, t]
+        return out + bs_ref[gate, g, 0]
+
+    for g in range(n_group):
+        x2 = sconv(p2_ref, 0, g)
+        x1 = sconv(p1_ref, 1, g)
+        v = sconv(pv_ref, 2, g)
+        w = v * x1
+        b, h, n1 = w.shape
+        rmm, lmm = _mm_helpers(b, precision)
+
+        def fft4(x):
+            tr = lmm(c2h_ref[:], x)
+            ti = lmm(s2h_ref[:], x)
+            ctw, stw = ctw_ref[:], stw_ref[:]
+            tr, ti = tr * ctw - ti * stw, tr * stw + ti * ctw
+            c1, s1 = c1_ref[:], s1_ref[:]
+            return rmm(tr, c1) - rmm(ti, s1), rmm(tr, s1) + rmm(ti, c1)
+
+        def ifft4(yr, yi):
+            ic1, is1 = ic1_ref[:], is1_ref[:]
+            sr = rmm(yr, ic1) - rmm(yi, is1)
+            si = rmm(yr, is1) + rmm(yi, ic1)
+            ictw, istw = ictw_ref[:], istw_ref[:]
+            sr, si = sr * ictw - si * istw, sr * istw + si * ictw
+            return lmm(ic2h_ref[:], sr) - lmm(is2h_ref[:], si)
+
+        wr, wi = fft4(w)
+        kr, ki = kr_ref[g], ki_ref[g]
+        z = ifft4(wr * kr - wi * ki, wr * ki + wi * kr)
+        dy = dy_ref[:, g].astype(jnp.float32)
+        dz = dy * x2
+        dx2_ref[:, g] = (dy * z).astype(dx2_ref.dtype)
+        dzr, dzi = fft4(dz)
+        dw = ifft4(kr * dzr + ki * dzi, kr * dzi - ki * dzr)
+        dx1_ref[:, g] = (dw * v).astype(dx1_ref.dtype)
+        dv_ref[:, g] = (dw * x1).astype(dv_ref.dtype)
+        dkr_ref[g] += jnp.sum(wr * dzr + wi * dzi, axis=0)
+        dki_ref[g] += jnp.sum(wr * dzi - wi * dzr, axis=0)
+
+
+def _short_conv_adjoint(dx, ks_g):
+    """Adjoint of the in-kernel short conv along the last axis.
+
+    Forward: out[t] = sum_j ks[j] * x[t + j - (taps-1)] (x zero for idx < 0).
+    Adjoint: dxin[s] = sum_j ks[j] * dx[s + (taps-1) - j] (zero past end).
+    dx: (B, C, L) f32; ks_g: (C, taps). Returns same shape as dx.
+    """
+    taps = ks_g.shape[-1]
+    seq_len = dx.shape[-1]
+    xp = jnp.pad(dx, ((0, 0), (0, 0), (0, taps - 1)))
+    out = xp[:, :, 0:seq_len] * ks_g[:, taps - 1][None, :, None]
+    for m in range(1, taps):
+        out = out + xp[:, :, m : m + seq_len] * ks_g[:, taps - 1 - m][None, :, None]
+    return out
+
+
+def mixer_bwd_pallas(proj_bm, dy_bm, k_short, b_short, k_long, bias, *, precision=None, interpret=False):
+    """Pallas backward for the batch-major fused mixer.
+
+    proj_bm: (B, 3D, L) saved input; dy_bm: (B, D, L) cotangent.
+    Returns (dproj_bm, dk_short, db_short, dk_long, dbias).
+    """
+    precision = precision or DEFAULT_PRECISION
+    batch, width, seq_len = proj_bm.shape
+    d_model = width // 3
+    taps = k_short.shape[0]
+    n = 2 * seq_len
+    n1, n2 = _split(n)
+    h = n2 // 2
+
+    cap = int(os.environ.get("DEEPCHOPPER_MIXER_BWD_BT_CAP", "8192"))
+    bt = max(1, min(batch, cap // n))
+    padded_batch = ((batch + bt - 1) // bt) * bt
+    dy32 = dy_bm
+    if padded_batch != batch:
+        pad_b = padded_batch - batch
+        proj_bm = jnp.pad(proj_bm, ((0, pad_b), (0, 0), (0, 0)))
+        dy32 = jnp.pad(dy_bm, ((0, pad_b), (0, 0), (0, 0)))
+    nb = padded_batch // bt
+
+    # cg stays 8 (like the forward): the (3, cg, taps) tap-table blocks need
+    # cg divisible by 8. The ~2x temporary pressure of the backward is
+    # absorbed by the smaller bt cap instead.
+    cg = int(os.environ.get("DEEPCHOPPER_MIXER_BWD_CG", "8"))
+    while d_model % cg:
+        cg //= 2
+    cg = max(cg, 1)
+
+    pd = proj_bm.reshape(padded_batch, width, h, n1)
+    dyd = dy32.reshape(padded_batch, d_model, h, n1)
+    kr, ki = khat_scrambled(k_long, n, bias)
+    ks = jnp.moveaxis(k_short[:, 0, :].astype(jnp.float32), 0, -1).reshape(3, d_model, taps)
+    bs = b_short.astype(jnp.float32).reshape(3, d_model, 1)
+
+    t = _tables(n)
+    tables = [
+        t["c2h"], t["s2h"], t["ctw"], t["stw"], t["c1"], t["s1"],
+        t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
+    ]  # fmt: skip
+
+    _G = d_model // cg
+    blk = (bt, cg, h, n1)
+    p2_spec = pl.BlockSpec(blk, lambda d, b: (b, d, 0, 0), memory_space=pltpu.VMEM)
+    p1_spec = pl.BlockSpec(blk, lambda d, b: (b, d + _G, 0, 0), memory_space=pltpu.VMEM)
+    pv_spec = pl.BlockSpec(blk, lambda d, b: (b, d + 2 * _G, 0, 0), memory_space=pltpu.VMEM)
+    dy_spec = pl.BlockSpec(blk, lambda d, b: (b, d, 0, 0), memory_space=pltpu.VMEM)
+    ks_spec = pl.BlockSpec((3, cg, taps), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((3, cg, 1), lambda d, b: (0, d, 0), memory_space=pltpu.VMEM)
+    khat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = [
+        pl.BlockSpec(a.shape, lambda d, b: (0, 0), memory_space=pltpu.VMEM) for a in tables
+    ]
+    dx_spec = pl.BlockSpec(blk, lambda d, b: (b, d, 0, 0), memory_space=pltpu.VMEM)
+    dkhat_spec = pl.BlockSpec((cg, n2, n1), lambda d, b: (d, 0, 0), memory_space=pltpu.VMEM)
+
+    out_dtype = dy_bm.dtype
+    flops_fft = 4 * d_model * padded_batch * n * (n2 // 2 + 4 * n1)
+    itemsize = jnp.dtype(proj_bm.dtype).itemsize
+    dx2, dx1, dv, dkr, dki = pl.pallas_call(
+        functools.partial(_mixer_bwd_kernel, precision=precision),
+        grid=(d_model // cg, nb),
+        in_specs=[p2_spec, p1_spec, pv_spec, dy_spec, ks_spec, bs_spec, khat_spec, khat_spec, *table_spec],
+        out_specs=[dx_spec, dx_spec, dx_spec, dkhat_spec, dkhat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_batch, d_model, h, n1), out_dtype),
+            jax.ShapeDtypeStruct((padded_batch, d_model, h, n1), out_dtype),
+            jax.ShapeDtypeStruct((padded_batch, d_model, h, n1), out_dtype),
+            jax.ShapeDtypeStruct((d_model, n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((d_model, n2, n1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_fft,
+            bytes_accessed=8 * d_model * padded_batch * seq_len * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pd, pd, pd, dyd, ks, bs, kr, ki, *[jnp.asarray(a) for a in tables])
+
+    dx2 = dx2.reshape(padded_batch, d_model, seq_len)[:batch].astype(jnp.float32)
+    dx1 = dx1.reshape(padded_batch, d_model, seq_len)[:batch].astype(jnp.float32)
+    dv = dv.reshape(padded_batch, d_model, seq_len)[:batch].astype(jnp.float32)
+
+    # (dk_long, dbias) from the accumulated spectrum cotangent.
+    _, khat_vjp = jax.vjp(lambda k, b: khat_scrambled(k, n, b), k_long, bias)
+    dk_long, dbias = khat_vjp((dkr, dki))
+
+    # Short-conv adjoint + tap/bias grads in XLA (bandwidth-trivial).
+    ksg = jnp.moveaxis(k_short[:, 0, :].astype(jnp.float32), 0, -1)  # (3D, taps)
+    dgates = jnp.concatenate([dx2, dx1, dv], axis=1)  # (B, 3D, L) f32
+    dproj = _short_conv_adjoint(dgates, ksg)
+
+    # dk_short[t, 0, c] = sum_{b,s} dgate[b,c,s] * p[b,c,s + t - (taps-1)]
+    p32 = proj_bm[:batch].astype(jnp.float32)
+    pp = jnp.pad(p32, ((0, 0), (0, 0), (taps - 1, 0)))
+    dks = jnp.stack(
+        [jnp.sum(dgates * pp[:, :, tp : tp + seq_len], axis=(0, 2)) for tp in range(taps)],
+        axis=0,
+    )[:, None, :]  # (taps, 1, 3D)
+    db_short = jnp.sum(dgates, axis=(0, 2))
+
+    return (
+        dproj.astype(proj_bm.dtype),
+        dks.astype(k_short.dtype),
+        db_short.astype(b_short.dtype),
+        dk_long.astype(k_long.dtype),
+        dbias.astype(bias.dtype),
     )
 
 

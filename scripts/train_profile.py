@@ -105,10 +105,19 @@ def main() -> int:
     float(fwd_jit(state.params, batch))
     fwd_s = timeit(lambda: fwd_jit(state.params, batch), iters=args.iters, fetch=float)
 
-    # grad-only (no optimizer update): isolates the VJP recompute cost
-    grad_jit = jax.jit(lambda p, bt: jax.value_and_grad(fwd_only)(p, bt)[0])
-    float(grad_jit(state.params, batch))
-    grad_s = timeit(lambda: grad_jit(state.params, batch), iters=args.iters, fetch=float)
+    # grad-only (no optimizer update): isolates the VJP recompute cost.
+    # Returns loss + grad global-norm so the backward survives DCE.
+    import optax
+
+    def _loss_and_gnorm(p, bt):
+        loss, g = jax.value_and_grad(fwd_only)(p, bt)
+        return loss + 0.0 * optax.global_norm(g), optax.global_norm(g)
+
+    grad_jit = jax.jit(_loss_and_gnorm)
+    print("grad norm:", float(grad_jit(state.params, batch)[1]))
+    grad_s = timeit(
+        lambda: grad_jit(state.params, batch), iters=args.iters, fetch=lambda r: float(r[1])
+    )
 
     # FLOPs: XLA's own cost analysis of the full train step
     try:

@@ -305,6 +305,40 @@ def test_mixer_conv_bm_grad_matches_composed_reference():
         )
 
 
+def test_mixer_bwd_pallas_matches_reference_grads():
+    """The VMEM backward kernel's five gradients (dproj, dk_short, db_short,
+    dk_long, dbias) match autodiff of the composed reference to f32
+    rounding — the adjoint identities dw = IFFT(conj(K)*FFT(dz)) and
+    dK = conj(W)*FFT(dz) are exact with the kernel's own tables."""
+    import jax
+
+    from deepchopper_tpu.ops.pallas_fft import mixer_bwd_pallas, mixer_reference_xla
+
+    rng = np.random.default_rng(3)
+    d_model, batch, seq_len = 8, 3, 256  # batch 3: exercises bt padding
+    proj = jnp.asarray(rng.standard_normal((batch, 3 * d_model, seq_len)), jnp.float32)
+    ksh = jnp.asarray(rng.standard_normal((3, 1, 3 * d_model)), jnp.float32)
+    bsh = jnp.asarray(rng.standard_normal(3 * d_model), jnp.float32)
+    kl = jnp.asarray(
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None],
+        jnp.float32,
+    )
+    bias = jnp.asarray(rng.standard_normal(d_model), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((batch, d_model, seq_len)), jnp.float32)
+
+    def loss(*a):
+        y = mixer_reference_xla(jnp.transpose(a[0], (1, 0, 2)), *a[1:])
+        return jnp.sum(jnp.transpose(y, (1, 0, 2)) * cot)
+
+    g_ref = jax.grad(loss, argnums=tuple(range(5)))(proj, ksh, bsh, kl, bias)
+    g_pal = mixer_bwd_pallas(proj, cot, ksh, bsh, kl, bias, precision="float32", interpret=True)
+    for a, b_, name in zip(g_ref, g_pal, "proj k_short b_short k_long bias".split()):
+        scale = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=5e-5 * scale, err_msg=name
+        )
+
+
 def test_mixer_conv_cm_grad_matches_composed_reference():
     import jax
 
