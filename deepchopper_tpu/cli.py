@@ -40,6 +40,15 @@ def _add_predict(sub: argparse._SubParsersAction) -> None:
         default="npz",
         help="Prediction shard format: npz (native) or pt (reference torch format, readable by deepchopper-chop)",
     )
+    p.add_argument(
+        "--conv-precision",
+        choices=["bfloat16", "float32"],
+        default=None,
+        help="TPU conv-kernel precision. Default bfloat16: measured flips only "
+        "at |logit margin| < 0.03 (model ~51/49 uncertain), F1 unchanged "
+        "(docs/performance.md). float32 costs ~12%% throughput; use for "
+        "strict run-to-run reproducibility studies.",
+    )
     p.add_argument("--fq", type=Path, default=None, help="FASTQ for --fused-chop qualities (defaults to data_path)")
     p.add_argument("--verbose", "-v", action="store_true", help="Restore suppressed third-party warnings and debug logs")
 
@@ -179,6 +188,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_predict(args: argparse.Namespace) -> int:
+    if getattr(args, "conv_precision", None):
+        # Must land before the kernels module is first imported: it reads
+        # DEEPCHOPPER_FFT_PRECISION once at import (ops/pallas_fft.py).
+        import os
+
+        os.environ["DEEPCHOPPER_FFT_PRECISION"] = args.conv_precision
+
     from .chop import ChopOptions
     from .infer import PredictEngine
     from .models.registry import DeepChopper

@@ -203,7 +203,9 @@ def main() -> int:
         out = run_sub(
             _TRAIN_CODE,
             [str(train_pq), str(wd / "train_out"), str(REPO), epochs],
-            {"JAX_PLATFORMS": "cpu"},
+            # axon's site dir force-registers the TPU backend regardless of
+            # JAX_PLATFORMS — strip it so training really runs on CPU.
+            {"JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO)},
         )
         line = [l for l in out.splitlines() if l.startswith("TRAIN_RESULT")][0]
         _, f1, ckpt = line.split(maxsplit=2)
