@@ -280,6 +280,34 @@ def gated_causal_conv_cm(
     return (jnp.moveaxis(z, -1, 0) * x2.astype(jnp.float32)).astype(uc.dtype)
 
 
+class _MixerInProj(nn.Module):
+    """in_proj + fused mixer conv as ONE Pallas dispatch.
+
+    Param names/shapes are EXACTLY DenseCM's (kernel (Cin, 3D), bias (3D,))
+    under this module's scope — named "in_proj" by the caller, so checkpoints
+    are interchangeable with the unfused path. Consumes the channel-major
+    (D, B, L) normalized stream; returns the mixer output batch-major
+    (B, D, L) (the caller transposes — a bitcast under XLA's layouts).
+    """
+
+    features: int  # 3 * d_model
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, u_cm, k_short, b_short, k_long, bias):
+        from ..ops import pallas_fft
+
+        cin = u_cm.shape[0]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (cin, self.features), jnp.float32
+        )
+        b_in = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        x_bm = jnp.transpose(u_cm.astype(self.dtype), (1, 0, 2))  # (B, D, L)
+        return pallas_fft.mixer_fft_conv_inproj(
+            x_bm, kernel, b_in, k_short, b_short, k_long, bias
+        )
+
+
 class HyenaOperator(nn.Module):
     """Order-2 Hyena mixer: projections, depthwise short conv, gated long conv.
 
@@ -294,8 +322,6 @@ class HyenaOperator(nn.Module):
         seq_len = u.shape[2]
         width = (cfg.hyena_order + 1) * d
         dtype = jnp.dtype(cfg.compute_dtype)
-
-        proj = DenseCM(width, name="in_proj", dtype=dtype)(u)  # (3d, B, L)
 
         # Depthwise causal-ish short conv: torch Conv1d(k=3, padding=2) then
         # truncate to L — i.e. pad (2, 0) relative to a valid conv output of
@@ -326,12 +352,22 @@ class HyenaOperator(nn.Module):
                 and d % 8 == 0  # tap-table blocks need cg divisible by 8
                 and jax.default_backend() == "tpu"
             ):
-                # Fully fused: short conv + gate + long conv + gate in one
-                # Pallas dispatch (proj never re-read from HBM). Default is
-                # the batch-major kernel entry: XLA lays the in_proj output
-                # out batch-major ({2,0,1}) anyway, so the transposes below
-                # are free bitcasts where the channel-major entry forced
-                # ~2.4 ms/layer of layout copies (see mixer_fft_conv_bm).
+                # DEEPCHOPPER_FUSE_INPROJ=1: in_proj matmul + short conv +
+                # gate + long conv + gate in ONE Pallas dispatch (the 3d-wide
+                # proj tensor never exists in HBM; mixer_fft_conv_inproj,
+                # checkpoint-compatible params). Measured SLOWER on v5e
+                # (71.5 vs 39.8 ms/step at 256x1024): Mosaic lowers the
+                # in-kernel (cg, D) x (bt, D, h, n1) contraction over x's
+                # second-major dim poorly — default stays the XLA in_proj +
+                # batch-major mixer; DEEPCHOPPER_MIXER_BM=0 further falls
+                # back to the channel-major entry.
+                if os.environ.get("DEEPCHOPPER_FUSE_INPROJ", "0") == "1":
+                    y_bm = _MixerInProj(width, name="in_proj", dtype=dtype)(
+                        u, k_short, b_short, k_long, bias
+                    )
+                    y = jnp.transpose(y_bm, (1, 0, 2))
+                    return DenseCM(d, name="out_proj", dtype=dtype)(y)
+                proj = DenseCM(width, name="in_proj", dtype=dtype)(u)  # (3d, B, L)
                 if os.environ.get("DEEPCHOPPER_MIXER_BM", "1") == "1":
                     y_bm = pallas_fft.mixer_fft_conv_bm(
                         jnp.transpose(proj, (1, 0, 2)), k_short, b_short, k_long, bias
@@ -340,6 +376,7 @@ class HyenaOperator(nn.Module):
                 else:
                     y = pallas_fft.mixer_fft_conv_cm(proj, k_short, b_short, k_long, bias)
                 return DenseCM(d, name="out_proj", dtype=dtype)(y)
+        proj = DenseCM(width, name="in_proj", dtype=dtype)(u)  # (3d, B, L)
 
         uc = short_depthwise_conv_cm(proj, k_short, b_short)  # (3d, B, L)
 

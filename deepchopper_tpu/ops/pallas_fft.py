@@ -997,6 +997,237 @@ def mixer_fft_conv_bm(
 
 
 # ---------------------------------------------------------------------------
+# in_proj-fused mixer: the matmul moves INTO the kernel.
+#
+# Even with the batch-major entry, each layer pays one XLA in_proj matmul
+# (~0.9 ms) plus a ~1.2 ms re-tiling copy of its 3d-wide output into the
+# kernel's (8seq, 128seq) digit tiles, plus a 0.4 ms reshape on the way out
+# (profiled, docs/performance.md). This kernel takes the NORM OUTPUT
+# x (B, D, L) directly: the grid runs batch-tile OUTER / channel-group
+# INNER, so the x block's index map depends only on b and Mosaic keeps it
+# RESIDENT across all channel groups — the in_proj contraction happens on
+# the MXU in VMEM per group (a (D, cg) x (bt, D, h, n1) 4-D dot), and the
+# 3d-wide proj tensor never exists in HBM at all.
+# ---------------------------------------------------------------------------
+
+
+def _mixer_inproj_kernel(
+    x_ref,
+    w2_ref,
+    w1_ref,
+    wv_ref,
+    bin_ref,
+    ks_ref,
+    bs_ref,
+    kr_ref,
+    ki_ref,
+    c2h_ref,
+    s2h_ref,
+    ctw_ref,
+    stw_ref,
+    c1_ref,
+    s1_ref,
+    ic1_ref,
+    is1_ref,
+    ictw_ref,
+    istw_ref,
+    ic2h_ref,
+    is2h_ref,
+    out_ref,
+    *,
+    precision: str,
+):
+    """x_ref: (bt, D, h, n1) resident across the channel-group grid dim;
+    w*_ref: (1, cg, D) per-gate in_proj row blocks (from the (3, Dout, Din)
+    pre-transposed weight); bin_ref: (3, cg) in_proj bias. Output
+    (bt, cg, h, n1) as the bm kernel."""
+    x = x_ref[...]
+    n_group = w2_ref.shape[1]
+    taps = ks_ref.shape[2]
+
+    def proj(w_ref, gate: int):
+        y = jax.lax.dot_general(
+            w_ref[0], x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cg, bt, h, n1) f32
+        return y + bin_ref[gate, :, 0][:, None, None, None]
+
+    p2 = proj(w2_ref, 0)
+    p1 = proj(w1_ref, 1)
+    pv = proj(wv_ref, 2)
+
+    def sconv(parr, gate: int, g: int):
+        xg = parr[g]  # (bt, h, n1) f32
+        out = xg * ks_ref[gate, g, taps - 1]
+        for t in range(taps - 1):
+            out = out + _shifted(xg, taps - 1 - t) * ks_ref[gate, g, t]
+        return out + bs_ref[gate, g, 0]
+
+    for g in range(n_group):
+        x2 = sconv(p2, 0, g)
+        x1 = sconv(p1, 1, g)
+        v = sconv(pv, 2, g)
+        xh = v * x1
+        b, h, n1 = xh.shape
+        rmm, lmm = _mm_helpers(b, precision)
+        tr = lmm(c2h_ref[:], xh)
+        ti = lmm(s2h_ref[:], xh)
+        ctw, stw = ctw_ref[:], stw_ref[:]
+        tr, ti = tr * ctw - ti * stw, tr * stw + ti * ctw
+        c1, s1 = c1_ref[:], s1_ref[:]
+        xr = rmm(tr, c1) - rmm(ti, s1)
+        xi = rmm(tr, s1) + rmm(ti, c1)
+        kr, ki = kr_ref[g], ki_ref[g]
+        yr = xr * kr - xi * ki
+        yi = xr * ki + xi * kr
+        ic1, is1 = ic1_ref[:], is1_ref[:]
+        sr = rmm(yr, ic1) - rmm(yi, is1)
+        si = rmm(yr, is1) + rmm(yi, ic1)
+        ictw, istw = ictw_ref[:], istw_ref[:]
+        sr, si = sr * ictw - si * istw, sr * istw + si * ictw
+        y = lmm(ic2h_ref[:], sr) - lmm(is2h_ref[:], si)
+        out_ref[:, g] = (y * x2).astype(out_ref.dtype)
+
+
+def _mixer_inproj_impl(x_bm, w_in, b_in, k_short, b_short, k_long, bias, *, interpret, precision):
+    batch, d_model, seq_len = x_bm.shape
+    width = w_in.shape[1]
+    assert width == 3 * d_model
+    taps = k_short.shape[0]
+    n = 2 * seq_len
+    n1, n2 = _split(n)
+    h = n2 // 2
+
+    cap = int(os.environ.get("DEEPCHOPPER_MIXER_IP_BT_CAP", "16384"))
+    bt = max(1, min(batch, cap // n))
+    padded_batch = ((batch + bt - 1) // bt) * bt
+    if padded_batch != batch:
+        x_bm = jnp.pad(x_bm, ((0, padded_batch - batch), (0, 0), (0, 0)))
+    nb = padded_batch // bt
+
+    cg = int(os.environ.get("DEEPCHOPPER_MIXER_IP_CG", "8"))
+    while d_model % cg:
+        cg //= 2
+    cg = max(cg, 1)
+
+    xd = x_bm.reshape(padded_batch, d_model, h, n1)
+    # (Din, 3D) -> (3, Dout, Din): per-gate row blocks with Din in lanes.
+    w16 = jnp.transpose(w_in, (1, 0)).reshape(3, d_model, d_model).astype(x_bm.dtype)
+    bin3 = b_in.astype(jnp.float32).reshape(3, d_model, 1)
+    kr, ki = khat_scrambled(k_long, n, bias)
+    ks = jnp.moveaxis(k_short[:, 0, :].astype(jnp.float32), 0, -1).reshape(3, d_model, taps)
+    bs = b_short.astype(jnp.float32).reshape(3, d_model, 1)
+
+    t = _tables(n)
+    tables = [
+        t["c2h"], t["s2h"], t["ctw"], t["stw"], t["c1"], t["s1"],
+        t["ic1"], t["is1"], t["ictw"], t["istw"], t["ic2h"], t["is2h"],
+    ]  # fmt: skip
+
+    _G = d_model // cg
+    # Grid: b OUTER, d INNER — x's index map depends on b only, so the block
+    # stays resident across the d sweep (no per-group re-fetch).
+    x_spec = pl.BlockSpec((bt, d_model, h, n1), lambda b, d: (b, 0, 0, 0), memory_space=pltpu.VMEM)
+    w2_spec = pl.BlockSpec((1, cg, d_model), lambda b, d: (0, d, 0), memory_space=pltpu.VMEM)
+    w1_spec = pl.BlockSpec((1, cg, d_model), lambda b, d: (1, d, 0), memory_space=pltpu.VMEM)
+    wv_spec = pl.BlockSpec((1, cg, d_model), lambda b, d: (2, d, 0), memory_space=pltpu.VMEM)
+    bin_spec = pl.BlockSpec((3, cg, 1), lambda b, d: (0, d, 0), memory_space=pltpu.VMEM)
+    ks_spec = pl.BlockSpec((3, cg, taps), lambda b, d: (0, d, 0), memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((3, cg, 1), lambda b, d: (0, d, 0), memory_space=pltpu.VMEM)
+    khat_spec = pl.BlockSpec((cg, n2, n1), lambda b, d: (d, 0, 0), memory_space=pltpu.VMEM)
+    table_spec = [
+        pl.BlockSpec(a.shape, lambda b, d: (0, 0), memory_space=pltpu.VMEM) for a in tables
+    ]
+    out_spec = pl.BlockSpec((bt, cg, h, n1), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM)
+
+    flops = 2 * width * d_model * padded_batch * seq_len + 2 * d_model * padded_batch * n * (
+        n2 // 2 + 4 * n1
+    )
+    itemsize = jnp.dtype(x_bm.dtype).itemsize
+    out = pl.pallas_call(
+        functools.partial(_mixer_inproj_kernel, precision=precision),
+        grid=(nb, d_model // cg),
+        in_specs=[x_spec, w2_spec, w1_spec, wv_spec, bin_spec, ks_spec, bs_spec, khat_spec, khat_spec, *table_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((padded_batch, d_model, h, n1), x_bm.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * d_model * padded_batch * seq_len * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xd, w16, w16, w16, bin3, ks, bs, kr, ki, *[jnp.asarray(a) for a in tables])
+
+    return out.reshape(padded_batch, d_model, seq_len)[:batch]
+
+
+def _inproj_composed(x_bm, w_in, b_in, k_short, b_short, k_long, bias, dtype):
+    """JAX-level composition (DenseCM math + bm mixer) — the VJP body: its
+    backward reuses the Pallas mixer backward plus XLA's matmul VJPs."""
+    proj = (
+        jax.lax.dot_general(
+            x_bm.astype(dtype), w_in.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )  # (B, L?, ...) -> dims: (B, L) x ... careful below
+    )
+    # dot_general((B, D, L) x (D, F)) contracting D gives (B, L, F); we want
+    # (B, F, L) — transpose the non-contracting dims.
+    proj = jnp.transpose(proj, (0, 2, 1)) + b_in.astype(dtype)[None, :, None]
+    return mixer_fft_conv_bm(proj, k_short, b_short, k_long, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _mixer_inproj_autodiff(x_bm, w_in, b_in, k_short, b_short, k_long, bias, interpret, precision):
+    return _mixer_inproj_impl(
+        x_bm, w_in, b_in, k_short, b_short, k_long, bias,
+        interpret=interpret, precision=precision,
+    )  # fmt: skip
+
+
+def _mixer_inproj_fwd(x_bm, w_in, b_in, k_short, b_short, k_long, bias, interpret, precision):
+    y = _mixer_inproj_impl(
+        x_bm, w_in, b_in, k_short, b_short, k_long, bias,
+        interpret=interpret, precision=precision,
+    )  # fmt: skip
+    return y, (x_bm, w_in, b_in, k_short, b_short, k_long, bias)
+
+
+def _mixer_inproj_bwd(interpret, precision, res, dy):
+    dtype = res[0].dtype
+    _, vjp = jax.vjp(lambda *a: _inproj_composed(*a, dtype), *res)
+    return vjp(dy)
+
+
+_mixer_inproj_autodiff.defvjp(_mixer_inproj_fwd, _mixer_inproj_bwd)
+
+
+def mixer_fft_conv_inproj(
+    x_bm: jnp.ndarray,
+    w_in: jnp.ndarray,
+    b_in: jnp.ndarray,
+    k_short: jnp.ndarray,
+    b_short: jnp.ndarray,
+    k_long: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """in_proj + short conv + gate + FFT conv + gate, ONE kernel.
+
+    x_bm: (B, D, L) normalized stream (batch-major); w_in: (D, 3D) in_proj
+    kernel (nn.Dense layout); b_in: (3D,). Returns (B, D, L) in x's dtype.
+    Differentiable (backward composes the Pallas mixer backward with XLA's
+    matmul VJP).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _mixer_inproj_autodiff(
+        x_bm, w_in, b_in, k_short, b_short, k_long, bias, interpret, precision or DEFAULT_PRECISION
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mixer BACKWARD kernel: the training path's heavy gradients in VMEM.
 #
 # Autodiff through the composed XLA reference recomputes the forward with

@@ -305,6 +305,58 @@ def test_mixer_conv_bm_grad_matches_composed_reference():
         )
 
 
+@pytest.mark.parametrize("shape", [(4, 256, 8), (3, 512, 4)])
+def test_mixer_inproj_matches_bm_composition(shape):
+    """The in_proj-fused kernel == (einsum in_proj) -> bm mixer, exactly
+    (same precision): the in_proj contraction moved in-kernel unchanged."""
+    from deepchopper_tpu.ops.pallas_fft import mixer_fft_conv_bm, mixer_fft_conv_inproj
+
+    batch, seq_len, d_model = shape
+    rng = np.random.default_rng(seq_len + 9)
+    x = jnp.asarray(rng.standard_normal((batch, d_model, seq_len)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d_model, 3 * d_model)) * 0.3, jnp.float32)
+    b_in = jnp.asarray(rng.standard_normal(3 * d_model) * 0.1, jnp.float32)
+    k_short = jnp.asarray(rng.standard_normal((3, 1, 3 * d_model)), jnp.float32)
+    b_short = jnp.asarray(rng.standard_normal(3 * d_model), jnp.float32)
+    k_long = jnp.asarray(
+        rng.standard_normal((seq_len, d_model)) * np.exp(-np.arange(seq_len) / 40.0)[:, None],
+        jnp.float32,
+    )
+    bias = jnp.asarray(rng.standard_normal(d_model), jnp.float32)
+
+    proj = jnp.transpose(jnp.einsum("bdl,df->bfl", x, w), (0, 1, 2)) + b_in[None, :, None]
+    want = mixer_fft_conv_bm(proj, k_short, b_short, k_long, bias, interpret=True, precision="float32")
+    got = mixer_fft_conv_inproj(
+        x, w, b_in, k_short, b_short, k_long, bias, interpret=True, precision="float32"
+    )
+    scale = max(1.0, float(jnp.abs(want).max()))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5 * scale)
+
+    # gradients flow (backward composes the Pallas mixer backward + matmul VJP)
+    import jax
+
+    cot = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
+    g = jax.grad(
+        lambda *a: jnp.sum(
+            mixer_fft_conv_inproj(*a, interpret=True, precision="float32") * cot
+        ),
+        argnums=(0, 1, 2),
+    )(x, w, b_in, k_short, b_short, k_long, bias)
+    g_ref = jax.grad(
+        lambda xx, ww, bb: jnp.sum(
+            mixer_fft_conv_bm(
+                jnp.einsum("bdl,df->bfl", xx, ww) + bb[None, :, None],
+                k_short, b_short, k_long, bias, interpret=True, precision="float32",
+            )
+            * cot
+        ),
+        argnums=(0, 1, 2),
+    )(x, w, b_in)
+    for a, b_, name in zip(g_ref, g, "x w b_in".split()):
+        s = max(1.0, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=5e-5 * s, err_msg=name)
+
+
 def test_mixer_bwd_pallas_matches_reference_grads():
     """The VMEM backward kernel's five gradients (dproj, dk_short, db_short,
     dk_long, dbias) match autodiff of the composed reference to f32
