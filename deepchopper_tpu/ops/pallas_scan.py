@@ -152,6 +152,218 @@ def _selective_scan_pallas_impl(
     return y[:batch, :seq_len]
 
 
+# ---------------------------------------------------------------------------
+# Backward: the selective scan's VJP in VMEM.
+#
+# Differentiating the XLA associative-scan recompute measured 77x the
+# forward on the 16-layer bidirectional model (TRAIN_PROFILE at (8, 1024):
+# 1489 ms/step vs 19 ms forward) — the composed affine maps materialize as
+# (B, L, D, N) f32 HBM tensors twice per layer-direction. Standard
+# Mamba-style two-pass instead:
+#
+#   1. `_scan_ckpt_kernel`: run the recurrence once, storing ONLY the entry
+#      state of every L-chunk — (B, nl, N, D), a few MB.
+#   2. `_scan_bwd_kernel`: walk chunks in REVERSE. Per chunk: recompute
+#      h[t] (and a[t]) forward from the checkpoint into VMEM scratch, then
+#      run the cotangent recurrence backward
+#          g[t] = C[t] (x) dy[t] + a[t+1] * g[t+1]
+#      (the cross-chunk carry a[first]*g[first] lives in scratch, exactly
+#      like the forward's h carry), emitting du, ddelta, dB, dC per step
+#      and accumulating dA, dD_skip across the whole grid.
+#
+# For a reverse=True forward scan, time mirrors: the checkpoint pass walks
+# right-to-left and the backward pass walks left-to-right.
+# ---------------------------------------------------------------------------
+
+
+def _scan_ckpt_kernel(u_ref, dl_ref, bp_ref, at_ref, ck_ref, h_ref, *, chunk, reverse):
+    lc = pl.program_id(1)
+
+    @pl.when(lc == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    ck_ref[:, 0] = h_ref[...]  # entry state of this chunk
+    at = at_ref[...]
+
+    def body(i, _):
+        t = (chunk - 1 - i) if reverse else i
+        d_t = dl_ref[:, t, :]
+        a = jnp.exp(d_t[:, None, :] * at[None, :, :])
+        db_u = (d_t * u_ref[:, t, :])[:, None, :] * bp_ref[:, t, :][:, :, None]
+        h_ref[...] = a * h_ref[...] + db_u
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def _scan_bwd_kernel(
+    u_ref, dl_ref, bp_ref, cp_ref, dy_ref, at_ref, dsk_ref, ck_ref,
+    du_ref, ddl_ref, dbp_ref, dcp_ref, da_ref, ddsk_ref,
+    g_ref, hall_ref, aall_ref,
+    *, chunk, reverse,
+):  # fmt: skip
+    lc = pl.program_id(1)
+
+    @pl.when(lc == 0)
+    def _init_g():
+        # Chronologically LAST chunk first: no future cotangent yet.
+        g_ref[...] = jnp.zeros_like(g_ref)
+
+    @pl.when((pl.program_id(0) == 0) & (lc == 0))
+    def _init_acc():
+        da_ref[...] = jnp.zeros_like(da_ref)
+        ddsk_ref[...] = jnp.zeros_like(ddsk_ref)
+
+    at = at_ref[...]  # (N, D)
+    dsk = dsk_ref[0]  # (D,)
+    h0 = ck_ref[:, 0]  # (bt, N, D) chunk entry state
+
+    # Pass 1: recompute h[t] and a[t] within the chunk (forward order).
+    def fwd_body(i, h):
+        t = (chunk - 1 - i) if reverse else i
+        d_t = dl_ref[:, t, :]
+        a = jnp.exp(d_t[:, None, :] * at[None, :, :])
+        db_u = (d_t * u_ref[:, t, :])[:, None, :] * bp_ref[:, t, :][:, :, None]
+        h = a * h + db_u
+        hall_ref[:, i] = h  # indexed by i (chunk-local step), not t
+        aall_ref[:, i] = a
+        return h
+
+    jax.lax.fori_loop(0, chunk, fwd_body, h0)
+
+    # Pass 2: cotangent recurrence, reverse chunk-local order.
+    def bwd_body(j, g):
+        i = chunk - 1 - j  # chunk-local step, last -> first
+        t = (chunk - 1 - i) if reverse else i
+        dy_t = dy_ref[:, t, :]  # (bt, D)
+        c_t = cp_ref[:, t, :]  # (bt, N)
+        u_t = u_ref[:, t, :]
+        d_t = dl_ref[:, t, :]
+        b_t = bp_ref[:, t, :]
+        h_t = hall_ref[:, i]
+        a_t = aall_ref[:, i]
+        h_prev = jnp.where(i == 0, h0, hall_ref[:, jnp.maximum(i - 1, 0)])
+        g = c_t[:, :, None] * dy_t[:, None, :] + g  # += direct term
+        da_t = g * h_prev  # cotangent of a[t]
+        # delta grads: via a (a*A) and via b (u * B)
+        dd_a = jnp.sum(da_t * a_t * at[None], axis=1)  # (bt, D)
+        ddu = jnp.sum(g * b_t[:, :, None], axis=1)  # (bt, D) cotangent of delta*u
+        ddl_ref[:, t, :] = dd_a + ddu * u_t
+        du_ref[:, t, :] = ddu * d_t + dsk[None, :] * dy_t
+        dbp_ref[:, t, :] = jnp.sum(g * (d_t * u_t)[:, None, :], axis=2)  # (bt, N)
+        dcp_ref[:, t, :] = jnp.sum(h_t * dy_t[:, None, :], axis=2)  # (bt, N)
+        da_ref[...] += jnp.sum(da_t * a_t * d_t[:, None, :], axis=0)  # (N, D)
+        ddsk_ref[...] += jnp.sum(dy_t * u_t, axis=0, keepdims=True)  # (1, D)
+        return a_t * g  # carry to step t-1
+
+    g = jax.lax.fori_loop(0, chunk, bwd_body, g_ref[...])
+    g_ref[...] = g  # a[first]*g[first]: the next (earlier) chunk's carry
+
+
+def selective_scan_pallas_bwd(
+    u, delta, A, Bp, Cp, D_skip, dy, *, chunk: int = 128, reverse: bool = False,
+    interpret: bool | None = None,
+):  # fmt: skip
+    """VMEM backward: returns (du, ddelta, dA, dBp, dCp, dD_skip)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq_len, d_in = u.shape
+    n = A.shape[1]
+
+    pad = (-seq_len) % chunk
+    if pad:
+        u = jnp.pad(u, ((0, 0), (0, pad), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad), (0, 0)))
+        Bp = jnp.pad(Bp, ((0, 0), (0, pad), (0, 0)))
+        Cp = jnp.pad(Cp, ((0, 0), (0, pad), (0, 0)))
+        dy = jnp.pad(dy, ((0, 0), (0, pad), (0, 0)))
+    padded_len = seq_len + pad
+    nl = padded_len // chunk
+
+    per_bt = (2 * 4 * chunk * d_in + 2 * 2 * chunk * n) * 4 + 2 * chunk * n * d_in * 4 + 2 * n * d_in * 4
+    bt = max(1, min(batch, (14 << 20) // per_bt))
+    bt = 1 << (bt.bit_length() - 1)
+    bpad = (-batch) % bt
+    if bpad:
+        u = jnp.pad(u, ((0, bpad), (0, 0), (0, 0)))
+        delta = jnp.pad(delta, ((0, bpad), (0, 0), (0, 0)))
+        Bp = jnp.pad(Bp, ((0, bpad), (0, 0), (0, 0)))
+        Cp = jnp.pad(Cp, ((0, bpad), (0, 0), (0, 0)))
+        dy = jnp.pad(dy, ((0, bpad), (0, 0), (0, 0)))
+    nb = (batch + bpad) // bt
+
+    args32 = [a.astype(jnp.float32) for a in (u, delta, Bp, Cp, dy)]
+    at32 = A.T.astype(jnp.float32)
+    dsk32 = D_skip.astype(jnp.float32).reshape(1, d_in)
+
+    if reverse:
+        fwd_l = lambda b, l, _nl=nl: (b, _nl - 1 - l, 0)  # ckpt pass walks reversed
+        bwd_l = lambda b, l: (b, l, 0)  # cotangent walks forward
+    else:
+        fwd_l = lambda b, l: (b, l, 0)
+        bwd_l = lambda b, l, _nl=nl: (b, _nl - 1 - l, 0)
+
+    d_blk_f = pl.BlockSpec((bt, chunk, d_in), fwd_l, memory_space=pltpu.VMEM)
+    n_blk_f = pl.BlockSpec((bt, chunk, n), fwd_l, memory_space=pltpu.VMEM)
+    at_blk = pl.BlockSpec((n, d_in), lambda b, l: (0, 0), memory_space=pltpu.VMEM)
+    dsk_blk = pl.BlockSpec((1, d_in), lambda b, l: (0, 0), memory_space=pltpu.VMEM)
+    ck_blk_f = pl.BlockSpec(
+        (bt, 1, n, d_in),
+        (lambda b, l, _nl=nl: (b, _nl - 1 - l, 0, 0)) if reverse else (lambda b, l: (b, l, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    ckpt = pl.pallas_call(
+        functools.partial(_scan_ckpt_kernel, chunk=chunk, reverse=reverse),
+        grid=(nb, nl),
+        in_specs=[d_blk_f, d_blk_f, n_blk_f, at_blk],
+        out_specs=ck_blk_f,
+        out_shape=jax.ShapeDtypeStruct((batch + bpad, nl, n, d_in), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, n, d_in), jnp.float32)],
+        interpret=interpret,
+    )(args32[0], args32[1], args32[2], at32)
+
+    d_blk_b = pl.BlockSpec((bt, chunk, d_in), bwd_l, memory_space=pltpu.VMEM)
+    n_blk_b = pl.BlockSpec((bt, chunk, n), bwd_l, memory_space=pltpu.VMEM)
+    ck_blk_b = pl.BlockSpec(
+        (bt, 1, n, d_in),
+        (lambda b, l: (b, l, 0, 0)) if reverse else (lambda b, l, _nl=nl: (b, _nl - 1 - l, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    acc_a = pl.BlockSpec((n, d_in), lambda b, l: (0, 0), memory_space=pltpu.VMEM)
+    acc_d = pl.BlockSpec((1, d_in), lambda b, l: (0, 0), memory_space=pltpu.VMEM)
+
+    du, ddl, dbp, dcp, dA_t, ddsk = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel, chunk=chunk, reverse=reverse),
+        grid=(nb, nl),
+        in_specs=[d_blk_b, d_blk_b, n_blk_b, n_blk_b, d_blk_b, at_blk, dsk_blk, ck_blk_b],
+        out_specs=[d_blk_b, d_blk_b, n_blk_b, n_blk_b, acc_a, acc_d],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch + bpad, padded_len, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((batch + bpad, padded_len, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((batch + bpad, padded_len, n), jnp.float32),
+            jax.ShapeDtypeStruct((batch + bpad, padded_len, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((1, d_in), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bt, n, d_in), jnp.float32),  # g carry
+            pltpu.VMEM((bt, chunk, n, d_in), jnp.float32),  # h within chunk
+            pltpu.VMEM((bt, chunk, n, d_in), jnp.float32),  # a within chunk
+        ],
+        interpret=interpret,
+    )(args32[0], args32[1], args32[2], args32[3], args32[4], at32, dsk32, ckpt)
+
+    return (
+        du[:batch, :seq_len].astype(u.dtype),
+        ddl[:batch, :seq_len].astype(delta.dtype),
+        dA_t.T.astype(A.dtype),
+        dbp[:batch, :seq_len].astype(Bp.dtype),
+        dcp[:batch, :seq_len].astype(Cp.dtype),
+        ddsk[0].astype(D_skip.dtype),
+    )
+
+
 def _scan_reference_xla(u, delta, A, Bp, Cp, D_skip, reverse):
     """The associative-scan reference (also the VJP's autodiff body)."""
     from ..models.caduceus import selective_scan
@@ -180,6 +392,15 @@ def _scan_fwd(u, delta, A, Bp, Cp, D_skip, chunk, reverse, interpret):
 
 
 def _scan_bwd(chunk, reverse, interpret, res, dy):
+    import os
+
+    if not interpret and os.environ.get("DEEPCHOPPER_SCAN_BWD", "pallas") == "pallas":
+        # VMEM two-pass backward: measured orders of magnitude over
+        # differentiating the associative-scan recompute (docs/performance.md).
+        u, delta, A, Bp, Cp, D_skip = res
+        return selective_scan_pallas_bwd(
+            u, delta, A, Bp, Cp, D_skip, dy, chunk=chunk, reverse=reverse, interpret=interpret
+        )
     _, vjp = jax.vjp(lambda *a: _scan_reference_xla(*a, reverse), *res)
     return vjp(dy)
 
