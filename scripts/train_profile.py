@@ -143,7 +143,18 @@ def main() -> int:
         "xla_flops_per_step": flops or None,
         "mfu_vs_197tflops": round(flops / step_s / peak, 4) if flops else None,
     }
-    Path(args.out).write_text(json.dumps(profile, indent=1) + "\n")
+    # Merge into the existing profile keyed by model, so the flagship and
+    # Caduceus measurements coexist in one TRAIN_PROFILE.json.
+    out_path = Path(args.out)
+    merged: dict = {}
+    if out_path.exists():
+        try:
+            prev = json.loads(out_path.read_text())
+            merged = prev if all(isinstance(v, dict) for v in prev.values()) else {prev["model"]: prev}
+        except Exception:
+            merged = {}
+    merged[args.model] = profile
+    out_path.write_text(json.dumps(merged, indent=1) + "\n")
     print(json.dumps(profile, indent=1))
     return 0
 
