@@ -337,6 +337,17 @@ def test_streaming_warmup_fused_output_matches_warmed(tmp_path):
     assert streamed == warmed
 
 
+def test_cli_predict_flags_parse():
+    """Round-5 CLI flags: --shard-format and --conv-precision."""
+    from deepchopper_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["predict", "/tmp/x.fq", "--conv-precision", "float32", "--shard-format", "pt"])
+    assert a.conv_precision == "float32" and a.shard_format == "pt"
+    a2 = p.parse_args(["predict", "/tmp/x.fq"])
+    assert a2.conv_precision is None and a2.shard_format == "npz"
+
+
 def test_prefetch_iter_propagates_producer_errors():
     """The background encode thread's exceptions must surface at the
     consumer, not vanish into a dead daemon thread."""
